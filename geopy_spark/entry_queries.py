@@ -1,0 +1,578 @@
+"""The driver-verified query surface (SURVEY.md §2.1/§5.2).
+
+Each query has a Spark implementation (idiomatic DataFrame/Column algebra,
+UDFs only where the engine's kernels genuinely need them) and, where
+SQL-expressible, an ANSI-SQL oracle twin that DuckDB runs on the same
+parquet views. Column names and numeric types are aligned on both sides
+(driver hash compares after sorting columns by name).
+
+Geometry for the spatial queries comes from synth.derived_* — the same
+pure-arithmetic formula evaluated by both engines (no hidden state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from . import synth
+from .functions import geo, text
+from .operators import dedup, similarity
+from .operators.knn import knn_join
+from .operators.spatial_join import spatial_join
+from .operators.tiling import tile_pyramid, tile_stats
+from .session import load_table
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+# ---------------------------------------------------------------------------
+
+_POLYS = synth.oracle_polygons()
+
+_REGIONS_SCHEMA = StructType([
+    StructField("poly_id", LongType()),
+    StructField("name", StringType()),
+    StructField("ring", ArrayType(ArrayType(DoubleType()))),
+    StructField("lat_min", DoubleType()), StructField("lat_max", DoubleType()),
+    StructField("lon_min", DoubleType()), StructField("lon_max", DoubleType()),
+])
+
+
+def regions_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(synth.polygons_pdf(_POLYS), schema=_REGIONS_SCHEMA)
+
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(F.col("c_custkey").alias("point_id"),
+                    geo.derived_lat(F.col("c_custkey")).alias("lat"),
+                    geo.derived_lon(F.col("c_custkey")).alias("lon"))
+
+
+_CUST_PTS_SQL = (f"SELECT c_custkey AS point_id, "
+                 f"{synth.derived_lat_sql('c_custkey')} AS lat, "
+                 f"{synth.derived_lon_sql('c_custkey')} AS lon FROM customer")
+
+
+# ---------------------------------------------------------------------------
+# relational queries (R3-R24)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.avg("l_discount").alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .select("l_returnflag", "l_linestatus",
+                    F.round("sum_qty", 2).alias("sum_qty"),
+                    F.round("sum_base_price", 2).alias("sum_base_price"),
+                    F.round("sum_disc_price", 2).alias("sum_disc_price"),
+                    F.round("avg_qty", 4).alias("avg_qty"),
+                    F.round("avg_disc", 4).alias("avg_disc"),
+                    "count_order"))
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_dims(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_cust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+_SQL_JOIN_DIMS = """
+SELECT r_name, count(*) AS n_cust,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_order_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+_SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customers_no_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_inactive"))
+            .select(F.col("c_nationkey").cast("long").alias("nationkey"), "n_inactive"))
+
+
+_SQL_NO_ORDERS = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_inactive
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    return (o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"),
+                    F.col("rk").cast("long").alias("rk")))
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS price,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+WHERE rk <= 3
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (o.withColumn("yr", F.year("o_orderdate").cast("long"))
+            .rollup("yr", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+_SQL_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       count(*) AS n, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
+"""
+
+
+def q_distinct_counts(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (o.withColumn("yr", F.year("o_orderdate").cast("long"))
+            .groupBy("yr")
+            .agg(F.countDistinct("o_custkey").alias("n_cust"),
+                 F.countDistinct("o_orderpriority").alias("n_prio")))
+
+
+_SQL_DISTINCT = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       count(DISTINCT o_custkey) AS n_cust,
+       count(DISTINCT o_orderpriority) AS n_prio
+FROM orders GROUP BY year(o_orderdate)
+"""
+
+
+def q_setops_active_years(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return (a.intersect(b).unionByName(a.exceptAll(b).distinct())
+            .distinct().select(F.col("o_custkey").alias("custkey")))
+
+
+_SQL_SETOPS = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 3).alias("sum_value")))
+
+
+_SQL_EVENTS_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+       round(CAST(sum(value) AS DOUBLE), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("long")
+    return (e.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
+_SQL_EVENTS_JSON = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)), 4) AS avg_k,
+       max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_running_sum(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select("event_id", "user_id",
+                    F.round(F.sum("value").over(w), 3).alias("running_value"))
+
+
+_SQL_RUNNING = """
+SELECT event_id, user_id,
+       round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 3)
+       AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming batch-equivalents (S3/S4 semantics on the static events table)
+# ---------------------------------------------------------------------------
+
+def q_window_tumbling(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+            .select(F.unix_timestamp("win.start").alias("bucket"),
+                    "event_type", "n", "sum_value"))
+
+
+_SQL_TUMBLING = """
+SELECT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) * 600 AS bucket,
+       event_type, count(*) AS n,
+       round(CAST(sum(value) AS DOUBLE), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    sess = (e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events")))
+    return (sess.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n_events").alias("n_events")))
+
+
+_SQL_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events),
+y AS (
+  SELECT user_id,
+         CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM x)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM y GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (G1/G5/G6/G7/G8/G9/G12) — derived geometry, full engine path
+# ---------------------------------------------------------------------------
+
+def q_spatial_join_pip(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    out = spatial_join(pts, regions_df(spark), point_id="point_id", level=6)
+    return out.select(F.col("point_id").cast("long").alias("point_id"),
+                      F.col("poly_id").cast("long").alias("poly_id"))
+
+
+def _sql_spatial_join() -> str:
+    edges = synth.polygons_edges_sql_values(_POLYS)
+    return f"""
+WITH pts AS ({_CUST_PTS_SQL}),
+edges AS (
+  SELECT poly_id, CAST(y1 AS DOUBLE) AS y1, CAST(x1 AS DOUBLE) AS x1,
+         CAST(y2 AS DOUBLE) AS y2, CAST(x2 AS DOUBLE) AS x2
+  FROM (VALUES {edges}) t(poly_id, y1, x1, y2, x2))
+SELECT CAST(p.point_id AS BIGINT) AS point_id, CAST(e.poly_id AS BIGINT) AS poly_id
+FROM pts p JOIN edges e
+  ON CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+          THEN p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+          ELSE false END
+GROUP BY 1, 2 HAVING count(*) % 2 = 1
+"""
+
+
+def q_knn(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    queries = s.select(F.col("s_suppkey").alias("query_id"),
+                       geo.derived_lat(F.col("s_suppkey") + 500000).alias("lat"),
+                       geo.derived_lon(F.col("s_suppkey") + 500000).alias("lon"))
+    pts = customer_points(spark, sf_dir).withColumnRenamed("point_id", "id")
+    out = knn_join(queries, pts, k=5, level=4, point_id="id")
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+_SQL_KNN = f"""
+WITH q AS (SELECT s_suppkey AS query_id,
+                  {synth.derived_lat_sql('(s_suppkey + 500000)')} AS qlat,
+                  {synth.derived_lon_sql('(s_suppkey + 500000)')} AS qlon
+           FROM supplier),
+pts AS ({_CUST_PTS_SQL}),
+d AS (SELECT q.query_id, p.point_id AS neighbor_id,
+             {geo.haversine_m_sql('q.qlat', 'q.qlon', 'p.lat', 'p.lon')} AS dist
+      FROM q CROSS JOIN pts p)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id)
+            AS BIGINT) AS rank
+FROM d QUALIFY rank <= 5
+"""
+
+
+def q_haversine_pairs(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cp = c.select("c_custkey", "c_nationkey",
+                  geo.derived_lat(F.col("c_custkey")).alias("clat"),
+                  geo.derived_lon(F.col("c_custkey")).alias("clon"))
+    sp = s.select("s_suppkey", "s_nationkey",
+                  geo.derived_lat(F.col("s_suppkey") + 500000).alias("slat"),
+                  geo.derived_lon(F.col("s_suppkey") + 500000).alias("slon"))
+    d = geo.haversine_m(F.col("clat"), F.col("clon"), F.col("slat"), F.col("slon"))
+    return (cp.join(sp, cp.c_nationkey == sp.s_nationkey)
+            .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.avg(d) / 1000.0, 2).alias("avg_km"),
+                 F.round(F.min(d) / 1000.0, 2).alias("min_km")))
+
+
+_SQL_HAVERSINE = f"""
+WITH cp AS (SELECT c_custkey, c_nationkey,
+                   {synth.derived_lat_sql('c_custkey')} AS clat,
+                   {synth.derived_lon_sql('c_custkey')} AS clon FROM customer),
+sp AS (SELECT s_suppkey, s_nationkey,
+              {synth.derived_lat_sql('(s_suppkey + 500000)')} AS slat,
+              {synth.derived_lon_sql('(s_suppkey + 500000)')} AS slon FROM supplier)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_pairs,
+       round(avg({geo.haversine_m_sql('clat', 'clon', 'slat', 'slon')}) / 1000.0, 2) AS avg_km,
+       round(min({geo.haversine_m_sql('clat', 'clon', 'slat', 'slon')}) / 1000.0, 2) AS min_km
+FROM cp JOIN sp ON c_nationkey = s_nationkey
+GROUP BY c_nationkey
+"""
+
+
+def q_grid_cells(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    return (pts.groupBy(F.floor((F.col("lat") + 90.0) / 15.0).alias("ci"),
+                        F.floor((F.col("lon") + 180.0) / 15.0).alias("cj"))
+            .agg(F.count("*").alias("n")))
+
+
+_SQL_GRID = f"""
+WITH pts AS ({_CUST_PTS_SQL})
+SELECT CAST(floor((lat + 90.0) / 15.0) AS BIGINT) AS ci,
+       CAST(floor((lon + 180.0) / 15.0) AS BIGINT) AS cj,
+       count(*) AS n
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_tile_assign(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    return (tile_stats(pts, z=6)
+            .select(F.col("z").cast("long").alias("z"), "x", "y", F.col("cnt").alias("n")))
+
+
+_SQL_TILES = f"""
+WITH pts AS ({_CUST_PTS_SQL})
+SELECT CAST(6 AS BIGINT) AS z, {geo.tile_x_sql('lon', 6)} AS x,
+       {geo.tile_y_sql('lat', 6)} AS y, count(*) AS n
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def q_tile_pyramid(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    leaf = tile_stats(pts, z=6)
+    pyr = tile_pyramid(leaf, z_max=6, z_min=3)
+    return pyr.select(F.col("z").cast("long").alias("z"), "x", "y",
+                      F.col("cnt").alias("n"))
+
+
+def _sql_tile_pyramid() -> str:
+    parts = []
+    for z in range(3, 7):
+        parts.append(f"""
+SELECT CAST({z} AS BIGINT) AS z, {geo.tile_x_sql('lon', z)} AS x,
+       {geo.tile_y_sql('lat', z)} AS y, count(*) AS n
+FROM pts GROUP BY 1, 2, 3""")
+    return f"WITH pts AS ({_CUST_PTS_SQL})" + " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity (task-brief training-data operators)
+# ---------------------------------------------------------------------------
+
+def q_text_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(text.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        text.quality_score(F.col("text")).alias("quality"),
+        text.lang_id(F.col("text")).alias("lang_guess"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+_SQL_TEXT = f"""
+SELECT doc_id,
+       CAST({text.token_count_sql('text')} AS BIGINT) AS n_tokens,
+       round({text.punct_ratio_sql('text')}, 4) AS punct_ratio,
+       {text.quality_score_sql('text')} AS quality,
+       {text.lang_id_sql('text')} AS lang_guess,
+       {text.fingerprint_sql('text')} AS fp
+FROM documents
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (d.withColumn("fp", text.fingerprint(F.col("text")))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")))
+
+
+_SQL_DEDUP = f"""
+SELECT {text.fingerprint_sql('text')} AS fp, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in e.filter(F.col("vec_id") == 0)
+          .select(F.explode("embedding")).collect()]
+    out = similarity.brute_force_topk(e, qv, k=10, exclude_id=0)
+    return out.select("vec_id", "cosine_r", F.col("rank").cast("long").alias("rank"))
+
+
+_SQL_EMB_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(CAST(cos AS DOUBLE), 4) AS cosine_r,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+# rows-only queries (no SQL oracle — non-SQL-expressible; pytest covers
+# their semantics against brute force / property checks)
+
+def q_minhash_neardup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.3)
+
+
+def q_simhash_neardup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=16)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(e, threshold=0.9)
+
+
+def q_ann_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = (e.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ann_topk(e, qs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "join_dims": q_join_dims,
+    "order_priority": q_order_priority,
+    "customers_no_orders": q_customers_no_orders,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "rollup_orders": q_rollup_orders,
+    "distinct_counts": q_distinct_counts,
+    "setops_active_years": q_setops_active_years,
+    "events_daily": q_events_daily,
+    "events_json": q_events_json,
+    "running_sum": q_running_sum,
+    "window_tumbling": q_window_tumbling,
+    "sessionize": q_sessionize,
+    "spatial_join_pip": q_spatial_join_pip,
+    "knn": q_knn,
+    "haversine_pairs": q_haversine_pairs,
+    "grid_cells": q_grid_cells,
+    "tile_assign": q_tile_assign,
+    "tile_pyramid": q_tile_pyramid,
+    "text_features": q_text_features,
+    "exact_dedup": q_exact_dedup,
+    "embedding_topk": q_embedding_topk,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
+}
+
+ORACLES = {
+    "pricing_summary": _SQL_PRICING,
+    "join_dims": _SQL_JOIN_DIMS,
+    "order_priority": _SQL_ORDER_PRIORITY,
+    "customers_no_orders": _SQL_NO_ORDERS,
+    "top_orders_per_customer": _SQL_TOP_ORDERS,
+    "rollup_orders": _SQL_ROLLUP,
+    "distinct_counts": _SQL_DISTINCT,
+    "setops_active_years": _SQL_SETOPS,
+    "events_daily": _SQL_EVENTS_DAILY,
+    "events_json": _SQL_EVENTS_JSON,
+    "running_sum": _SQL_RUNNING,
+    "window_tumbling": _SQL_TUMBLING,
+    "sessionize": _SQL_SESSIONIZE,
+    "spatial_join_pip": _sql_spatial_join(),
+    "knn": _SQL_KNN,
+    "haversine_pairs": _SQL_HAVERSINE,
+    "grid_cells": _SQL_GRID,
+    "tile_assign": _SQL_TILES,
+    "tile_pyramid": _sql_tile_pyramid(),
+    "text_features": _SQL_TEXT,
+    "exact_dedup": _SQL_DEDUP,
+    "embedding_topk": _SQL_EMB_TOPK,
+}

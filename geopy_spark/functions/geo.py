@@ -1,0 +1,90 @@
+"""Column-algebra geo functions — the JVM-side (whole-stage-codegen) hot path.
+
+Everything here compiles to built-in Catalyst expressions: no Python is
+executed per row (SURVEY.md §2.1 R21, §2.2 G8/G12/G13). The numpy kernel
+twins (kernels/geodesy.py) use the same formulas and constants so batch-UDF
+and Column paths are interchangeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernels.geodesy import EARTH_RADIUS_M
+from ..synth import LAT_MOD, LAT_MUL, LON_MOD, LON_MUL
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters — pure Column trig (no UDF)."""
+    la1, lo1 = F.radians(lat1), F.radians(lon1)
+    la2, lo2 = F.radians(lat2), F.radians(lon2)
+    a = (F.pow(F.sin((la2 - la1) / 2), 2)
+         + F.cos(la1) * F.cos(la2) * F.pow(F.sin((lo2 - lo1) / 2), 2))
+    a = F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+
+
+def normalize_lon(lon: Column) -> Column:
+    """Wrap longitude to [-180, 180) — F.pmod column math (G13)."""
+    return F.pmod(lon + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+
+
+def normalize_lat(lat: Column) -> Column:
+    return F.least(F.greatest(lat, F.lit(-90.0)), F.lit(90.0))
+
+
+def derived_lat(key: Column) -> Column:
+    """Deterministic lat from an integer key — same formula as
+    synth.derived_lat_sql so the DuckDB oracle reproduces it exactly."""
+    return (key.cast("bigint") * LAT_MUL % LAT_MOD) / 1000.0 - 60.0
+
+
+def derived_lon(key: Column) -> Column:
+    return (key.cast("bigint") * LON_MUL % LON_MOD) / 1000.0 - 180.0
+
+
+# --------------------------------------------------------------------- tiles
+# Web-Mercator-style tile pyramid (SURVEY.md §2.2 G8): pure Column algebra.
+
+def tile_x(lon: Column, z: int) -> Column:
+    n = F.lit(float(2 ** z))
+    x = F.floor((normalize_lon(lon) + 180.0) / 360.0 * n).cast("long")
+    return F.least(F.greatest(x, F.lit(0)), F.lit(2 ** z - 1))
+
+
+def tile_y(lat: Column, z: int) -> Column:
+    """Mercator y; lat clamped to the Web-Mercator limit ±85.05113°."""
+    n = F.lit(float(2 ** z))
+    la = F.radians(F.least(F.greatest(lat, F.lit(-85.05112878)), F.lit(85.05112878)))
+    merc = F.log(F.tan(la) + F.lit(1.0) / F.cos(la))
+    y = F.floor((F.lit(1.0) - merc / F.lit(3.141592653589793)) / 2.0 * n).cast("long")
+    return F.least(F.greatest(y, F.lit(0)), F.lit(2 ** z - 1))
+
+
+def tile_key(z: int, x: Column, y: Column) -> Column:
+    """Pack (z,x,y) into one int64: [z:5][x:29][y:29] — partition/sort key
+    of the tile pyramid."""
+    return (F.lit(z).cast("long") * F.lit(2 ** 58)
+            + x * F.lit(2 ** 29) + y)
+
+
+def tile_x_sql(lon_expr: str, z: int) -> str:
+    return (f"least(greatest(CAST(floor((({lon_expr}) + 180.0) / 360.0 * {float(2**z)}) "
+            f"AS BIGINT), 0), {2**z - 1})")
+
+
+def tile_y_sql(lat_expr: str, z: int) -> str:
+    la = f"radians(least(greatest({lat_expr}, -85.05112878), 85.05112878))"
+    merc = f"(ln(tan({la}) + 1.0/cos({la})))"
+    return (f"least(greatest(CAST(floor((1.0 - {merc} / pi()) / 2.0 * {float(2**z)}) "
+            f"AS BIGINT), 0), {2**z - 1})")
+
+
+def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The same haversine as ANSI SQL for the DuckDB oracle."""
+    a = (f"(pow(sin((radians({lat2}) - radians({lat1}))/2), 2) + "
+         f"cos(radians({lat1})) * cos(radians({lat2})) * "
+         f"pow(sin((radians({lon2}) - radians({lon1}))/2), 2))")
+    a_cl = f"least(greatest({a}, 0.0), 1.0)"
+    return f"(2.0 * {EARTH_RADIUS_M!r} * atan2(sqrt({a_cl}), sqrt(1.0 - {a_cl})))"

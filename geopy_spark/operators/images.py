@@ -1,0 +1,92 @@
+"""Image-payload operators over Arrow batches (SURVEY.md §2.3 I1-I6).
+
+All pixel work happens inside iterator-style pandas UDFs / mapInPandas —
+decode amortizes per-batch setup, bytes never round-trip through per-row
+Python (BASELINE.json:15 "no per-row Python"). The `bytes` column is pruned
+out of every shuffle: stats/hashes are computed in a narrow map stage and
+joins carry only ids (SURVEY.md §4.2 spill safety).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StructField,
+                               StructType)
+
+from ..kernels import codecs as C
+
+
+def decode_mean_udf(bytes_col: Column, fmt: Column, w: Column, h: Column) -> Column:
+    """Mean pixel value of the decoded image — the tile-content statistic
+    the pyramid aggregates (I1 + I3 leaf stat)."""
+    @F.pandas_udf(DoubleType())
+    def _mean(it: Iterator[tuple[pd.Series, ...]]) -> Iterator[pd.Series]:
+        for b, f, ww, hh in it:
+            out = np.empty(len(b), dtype=np.float64)
+            for n in range(len(b)):
+                img = C.decode(b.iloc[n], f.iloc[n], int(ww.iloc[n]), int(hh.iloc[n]))
+                out[n] = float(img.mean())
+            yield pd.Series(out)
+    return _mean(bytes_col, fmt, w, h)
+
+
+def phash_udf(bytes_col: Column, fmt: Column, w: Column, h: Column) -> Column:
+    """Recompute phash from payload (I4) — verification join vs the stored
+    `phash` column."""
+    @F.pandas_udf(LongType())
+    def _ph(it: Iterator[tuple[pd.Series, ...]]) -> Iterator[pd.Series]:
+        for b, f, ww, hh in it:
+            out = np.empty(len(b), dtype=np.int64)
+            for n in range(len(b)):
+                img = C.decode(b.iloc[n], f.iloc[n], int(ww.iloc[n]), int(hh.iloc[n]))
+                out[n] = C.phash64(img)
+            yield pd.Series(out)
+    return _ph(bytes_col, fmt, w, h)
+
+
+def transcode(df: DataFrame, to_fmt: str) -> DataFrame:
+    """Re-encode every image payload to ``to_fmt`` (I1+I2), via mapInPandas
+    so huge binary batches stream. Caption column is never touched (I6)."""
+    fields = df.schema.fields
+    out_schema = StructType([
+        StructField(f.name, BinaryType() if f.name == "bytes" else f.dataType)
+        for f in fields
+    ])
+
+    def _f(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bufs = []
+            for n in range(len(pdf)):
+                img = C.decode(pdf["bytes"].iloc[n], pdf["fmt"].iloc[n],
+                               int(pdf["w"].iloc[n]), int(pdf["h"].iloc[n]))
+                bufs.append(C.encode(img, to_fmt))
+            pdf = pdf.assign(bytes=bufs, fmt=to_fmt)
+            yield pdf
+    return df.mapInPandas(_f, out_schema)
+
+
+def psnr_vs_udf(bytes_a: Column, fmt_a: Column, bytes_b: Column, fmt_b: Column,
+                w: Column, h: Column) -> Column:
+    """PSNR between two payload columns (I5) — the ≥40 dB invariant check."""
+    @F.pandas_udf(DoubleType())
+    def _p(it: Iterator[tuple[pd.Series, ...]]) -> Iterator[pd.Series]:
+        for ba, fa, bb, fb, ww, hh in it:
+            out = np.empty(len(ba), dtype=np.float64)
+            for n in range(len(ba)):
+                a = C.decode(ba.iloc[n], fa.iloc[n], int(ww.iloc[n]), int(hh.iloc[n]))
+                b = C.decode(bb.iloc[n], fb.iloc[n], int(ww.iloc[n]), int(hh.iloc[n]))
+                out[n] = C.psnr(a, b)
+            yield pd.Series(out)
+    return _p(bytes_a, fmt_a, bytes_b, fmt_b, w, h)
+
+
+def hamming_udf(a: Column, b: Column) -> Column:
+    @F.pandas_udf(LongType())
+    def _h(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(C.hamming64(x.to_numpy(np.int64), y.to_numpy(np.int64)))
+    return _h(a, b)

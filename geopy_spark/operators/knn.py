@@ -1,0 +1,126 @@
+"""Exact kNN join via cell-ring expansion over the sorted-cell index
+(SURVEY.md §2.2 G7; north_star BASELINE.json:6 "kNN via cell-ring
+expansion over sorted-cell indexes").
+
+Two-phase exact algorithm (standard grid-kNN bound, scale-safe):
+
+  Phase 1 (candidate discovery): join each query's cell-disk (radius r,
+  doubling while any query still has < k candidates) against the point
+  table on `cell`; per-query kth-nearest distance among candidates is an
+  UPPER bound d_k on the true kth distance.
+
+  Phase 2 (exact window): re-join with a rectangular disk guaranteed to
+  contain every point within d_k — ±R_i rows, ±R_j cols where
+  R_i = ceil(d_k / cell_lat_m) + 1 and R_j accounts for longitude
+  shrinkage at the band's worst latitude (cos clamp; near-pole bands fall
+  back to full longitude wrap). Final top-k by (haversine, id) —
+  deterministic tie-break so row sets byte-match the oracle.
+
+The point side is partitioned/sorted by `cell` once and reused by both
+phases; only the (small) query side fans out. At 100 TB the fan-out join
+broadcasts the exploded query disks when they fit, so the big side never
+shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.cells import cell_encode_udf
+from ..functions.geo import haversine_m
+from ..kernels import cells as K
+from ..kernels.geodesy import meters_per_deg_lat
+
+DEFAULT_LEVEL = 4
+
+
+def _disk_rect_udf(cell, ri, rj):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _disk(c: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
+        cells = K.cell_disk_rect(c.to_numpy(np.int64),
+                                 a.to_numpy(np.int64), b.to_numpy(np.int64))
+        return pd.Series([x.tolist() for x in cells])
+    return _disk(cell, ri, rj)
+
+
+def _with_cell(df: DataFrame, level: int) -> DataFrame:
+    return df.withColumn("cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
+
+
+def _candidates(queries: DataFrame, points: DataFrame, ri_col, rj_col) -> DataFrame:
+    """Explode per-query disk cells and equi-join the point table."""
+    q = (queries
+         .withColumn("qcell", F.explode(_disk_rect_udf(F.col("cell"), ri_col, rj_col)))
+         .select("query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
+                 F.col("qcell").alias("cell")))
+    return (points.join(F.broadcast(q), "cell")
+            .withColumn("dist_m", haversine_m(F.col("qlat"), F.col("qlon"),
+                                              F.col("lat"), F.col("lon"))))
+
+
+def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
+             level: int = DEFAULT_LEVEL, point_id: str = "id",
+             r0: int = 1, max_r: int | None = None) -> DataFrame:
+    """queries(query_id, lat, lon) × points(id, lat, lon) → exactly the k
+    nearest points per query: (query_id, neighbor_id, rank)."""
+    n = 2 ** level
+    if max_r is None:
+        max_r = n  # full-grid fallback guarantees termination
+    cell_deg = K.cell_size_deg(level)
+    m_per_deg = meters_per_deg_lat()
+
+    pts = _with_cell(points, level).select(F.col(point_id).alias("nid"),
+                                           "lat", "lon", "cell")
+    pts = pts.persist()
+    qry = _with_cell(queries, level).select("query_id", "lat", "lon", "cell").persist()
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("nid").asc())
+
+    # ---- Phase 1: grow disks until every query has >= k candidates
+    pending = qry
+    dmax_parts = []
+    r = r0
+    while True:
+        cand = _candidates(pending, pts, F.lit(r), F.lit(2 * r))
+        ranked = cand.withColumn("rk", F.row_number().over(w))
+        stats = (ranked.groupBy("query_id")
+                 .agg(F.count("*").alias("n_cand"),
+                      F.max(F.when(F.col("rk") == k, F.col("dist_m"))).alias("dk")))
+        done = stats.filter((F.col("n_cand") >= k) | F.lit(r >= max_r))
+        dmax_parts.append(done.select("query_id", F.coalesce("dk", F.lit(0.0)).alias("dk"),
+                                      F.lit(r).alias("r1")))
+        # zero-candidate queries never appear in stats → they stay pending
+        pending = pending.join(done.select("query_id"), "query_id", "left_anti")
+        if r >= max_r or pending.isEmpty():
+            break
+        r *= 2
+
+    dmax = dmax_parts[0]
+    for p in dmax_parts[1:]:
+        dmax = dmax.unionByName(p)
+
+    # ---- Phase 2: exact rectangular window from the d_k bound
+    q2 = qry.join(F.broadcast(dmax), "query_id")
+    ri = (F.ceil(F.col("dk") / F.lit(cell_deg * m_per_deg)) + F.lit(1)).cast("long")
+    # never shrink below the phase-1 radius that produced the d_k bound
+    ri = F.greatest(ri, F.col("r1"))
+    # worst-case latitude of any candidate still inside the ±ri band
+    band_lat = F.least(F.abs(F.col("lat")) + (ri.cast("double") + 1) * F.lit(cell_deg),
+                       F.lit(89.99))
+    cos_min = F.cos(F.radians(band_lat))
+    lon_cell_deg = 2.0 * cell_deg  # grid is 2^L over 360°
+    rj = (F.ceil(F.col("dk") / (F.lit(lon_cell_deg * m_per_deg) * cos_min)) + F.lit(1)).cast("long")
+    rj = F.greatest(rj, F.col("r1") * 2)
+
+    q2 = q2.select("query_id", "lat", "lon", "cell",
+                   ri.alias("_ri"), rj.alias("_rj"))
+    cand2 = _candidates(q2, pts, F.col("_ri"), F.col("_rj"))
+
+    out = (cand2.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", F.col("nid").alias("neighbor_id"), "rank"))
+    return out

@@ -1,0 +1,89 @@
+"""Spatial join point⋈polygon (SURVEY.md §2.2 G4-G6).
+
+Plan shape (scale rationale):
+
+    polygons --cover UDF--> explode(cells)      [small side, broadcast-able]
+    points   --encode UDF--> cell               [big side, stays put]
+    equi-join on cell  (broadcast when the exploded cover fits,
+                        else cell-bucketed shuffle join + AQE skew split)
+    bbox residual (Column algebra, pre-prunes most false cover hits)
+    exact PIP residual (vectorized Arrow UDF, grouped per polygon)
+
+At 100 TB the point side never shuffles on the broadcast path; on the SMJ
+path both sides hash-partition on `cell` — the key is hierarchical, so a
+coarser `cell_parent` re-use of the same partitioning is free for later
+stages. A (point, polygon) pair can only meet in the point's single cell,
+so the join emits no duplicate pairs and needs NO post-dedup shuffle.
+
+Correctness: polygon_cover is a conservative superset (no false negatives,
+kernels/pip.py), exact PIP removes false positives; boundary counts as
+inside (documented engine convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BooleanType, LongType
+
+from ..functions.cells import cell_encode_udf
+from ..kernels import pip as P
+
+DEFAULT_LEVEL = 6
+
+
+def polygon_cover_udf(ring: Column, level: int) -> Column:
+    """ring array<array<double>> → covering cells array<long> (G4)."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(r: pd.Series) -> pd.Series:
+        return pd.Series([
+            P.polygon_cover(np.asarray([list(v) for v in ring_], dtype=np.float64),
+                            level).tolist()
+            for ring_ in r
+        ])
+    return _cover(ring)
+
+
+def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column) -> Column:
+    """Exact point-in-ring test (G5), vectorized per polygon group within
+    each Arrow batch (candidate pairs arrive clustered by polygon)."""
+    @F.pandas_udf(BooleanType())
+    def _pip(la: pd.Series, lo: pd.Series, pid: pd.Series, rg: pd.Series) -> pd.Series:
+        out = np.zeros(len(la), dtype=bool)
+        la_np = la.to_numpy(np.float64)
+        lo_np = lo.to_numpy(np.float64)
+        for _, idx in pd.Series(range(len(pid))).groupby(pid.values).groups.items():
+            ii = np.asarray(idx)
+            ring_np = np.asarray([list(v) for v in rg.iloc[ii[0]]], dtype=np.float64)
+            out[ii] = P.points_in_ring(la_np[ii], lo_np[ii], ring_np)
+        return pd.Series(out)
+    return _pip(lat, lon, poly_id, ring)
+
+
+def spatial_join(points: DataFrame, regions: DataFrame, *,
+                 point_id: str = "point_id", level: int = DEFAULT_LEVEL,
+                 broadcast_regions: bool | None = None) -> DataFrame:
+    """Exact point-in-polygon join.
+
+    points:  (point_id, lat, lon, ...) — the big side.
+    regions: (poly_id, ring, lat_min, lat_max, lon_min, lon_max) — vector side.
+    Returns (point_id, poly_id) exact containment pairs.
+    """
+    cov = (regions
+           .withColumn("cell", F.explode(polygon_cover_udf(F.col("ring"), level)))
+           .select("cell", "poly_id", "ring", "lat_min", "lat_max", "lon_min", "lon_max"))
+
+    pts = points.withColumn("cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
+
+    if broadcast_regions is None:
+        broadcast_regions = True  # caller overrides for huge vector sides
+    right = F.broadcast(cov) if broadcast_regions else cov
+
+    cand = (pts.join(right, "cell")
+            .filter((F.col("lat") >= F.col("lat_min")) & (F.col("lat") <= F.col("lat_max")) &
+                    (F.col("lon") >= F.col("lon_min")) & (F.col("lon") <= F.col("lon_max"))))
+
+    hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"), F.col("ring")))
+    return hit.select(point_id, "poly_id")

@@ -1,0 +1,206 @@
+"""Deterministic synthetic fixtures (FIXTURES.md §B).
+
+Everything here is seeded and pure — same inputs → byte-identical outputs —
+because BASELINE.json:6 requires join row sets / tile assignments to match
+golden fixtures exactly, and because the DuckDB oracle must see the very
+same geometry the Spark queries see.
+
+Two geometry sources:
+
+1. ``derived lat/lon from integer keys`` — a pure-arithmetic formula that is
+   expressible BOTH as a Spark Column and as ANSI SQL, so the driver's
+   DuckDB oracle can reproduce the coordinates from the shared testdata
+   tables without any UDF:  lat = (key*9973 % 120000)/1000 - 60,
+   lon = (key*7919 % 360000)/1000 - 180.
+2. ``synth images/regions tables`` — the north-rule image+caption input
+   (BASELINE.json:15) with numpy pixel payloads, plus polygon fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from .kernels import codecs
+
+# ---------------------------------------------------------------------------
+# SQL-expressible derived coordinates (shared Spark/DuckDB geometry)
+# ---------------------------------------------------------------------------
+
+LAT_MUL, LAT_MOD = 9973, 120_000   # → [-60, 60)
+LON_MUL, LON_MOD = 7919, 360_000   # → [-180, 180)
+
+
+def derived_lat_sql(key_expr: str) -> str:
+    return f"(({key_expr} * {LAT_MUL}) % {LAT_MOD}) / 1000.0 - 60.0"
+
+
+def derived_lon_sql(key_expr: str) -> str:
+    return f"(({key_expr} * {LON_MUL}) % {LON_MOD}) / 1000.0 - 180.0"
+
+
+def derived_lat_np(key: np.ndarray) -> np.ndarray:
+    return (key.astype(np.int64) * LAT_MUL % LAT_MOD) / 1000.0 - 60.0
+
+
+def derived_lon_np(key: np.ndarray) -> np.ndarray:
+    return (key.astype(np.int64) * LON_MUL % LON_MOD) / 1000.0 - 180.0
+
+
+# ---------------------------------------------------------------------------
+# Oracle polygons — deterministic vertex lists embeddable in a SQL VALUES
+# ---------------------------------------------------------------------------
+
+def oracle_polygons(n: int = 24, seed: int = 1234) -> list[tuple[int, list[tuple[float, float]]]]:
+    """n seeded polygons (alternating convex / star) as (poly_id, [(lat,lon)...]).
+
+    Vertices rounded to 6 decimals with non-trivial last digits so no
+    derived point (3-decimal grid) is exactly on an edge/vertex — keeps the
+    boundary-inclusive engine convention and the parity-only SQL oracle in
+    exact agreement (measure-zero disagreement set avoided by construction).
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    for pid in range(n):
+        clat = float(rng.uniform(-55, 55))
+        clon = float(rng.uniform(-170, 170))
+        nv = int(rng.integers(4, 13))
+        base_r = float(rng.uniform(2.0, 9.0))
+        th = np.sort(rng.uniform(0, 2 * math.pi, nv))
+        if pid % 2 == 0:  # convex-ish
+            rr = np.full(nv, base_r) * rng.uniform(0.8, 1.0, nv)
+        else:             # star (non-convex)
+            rr = np.where(np.arange(nv) % 2 == 0, base_r, base_r * 0.35)
+        lat = clat + rr * np.sin(th)
+        lon = clon + rr * np.cos(th)
+        lat = np.clip(lat, -59.5, 59.5)
+        lon = np.clip(lon, -179.5, 179.5)
+        ring = [(round(float(a) + 1.7e-6, 6), round(float(o) + 1.3e-6, 6))
+                for a, o in zip(lat, lon)]
+        out.append((pid, ring))
+    return out
+
+
+def polygons_edges_sql_values(polys) -> str:
+    """Render polygons as a SQL VALUES list of edges for the DuckDB oracle:
+    (poly_id, y1, x1, y2, x2)."""
+    rows = []
+    for pid, ring in polys:
+        e = len(ring)
+        for k in range(e):
+            y1, x1 = ring[k]
+            y2, x2 = ring[(k + 1) % e]
+            rows.append(f"({pid}, {y1!r}, {x1!r}, {y2!r}, {x2!r})")
+    return ", ".join(rows)
+
+
+def polygons_pdf(polys) -> pd.DataFrame:
+    """Polygons as a pandas frame: poly_id, name, ring(list[list[float]]),
+    bbox fields — the `regions` table shape (FIXTURES.md)."""
+    recs = []
+    for pid, ring in polys:
+        lats = [v[0] for v in ring]
+        lons = [v[1] for v in ring]
+        recs.append({
+            "poly_id": pid,
+            "name": f"region{pid}",
+            "ring": [[float(a), float(o)] for a, o in ring],
+            "lat_min": min(lats), "lat_max": max(lats),
+            "lon_min": min(lons), "lon_max": max(lons),
+        })
+    return pd.DataFrame(recs)
+
+
+# ---------------------------------------------------------------------------
+# images table — the north-rule input (BASELINE.json:15)
+# ---------------------------------------------------------------------------
+
+SEED = 20240816
+_W_CYCLE = (16, 32, 64)
+_H_CYCLE = (16, 32, 48)
+_FMT_CYCLE = codecs.FORMATS
+_HOTSPOTS = [  # three "city" boxes; 20% of mass → skew for salting tests
+    (40.7, -74.0, 0.5),   # NYC-ish
+    (51.5, -0.1, 0.5),    # London-ish
+    (35.7, 139.7, 0.5),   # Tokyo-ish
+]
+_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+          "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def image_latlon(image_id: str) -> tuple[float, float]:
+    """sha256(image_id) → deterministic position; 20% in hotspot boxes."""
+    h = hashlib.sha256(image_id.encode()).digest()
+    u0 = int.from_bytes(h[0:8], "big") / 2**64
+    u1 = int.from_bytes(h[8:16], "big") / 2**64
+    u2 = int.from_bytes(h[16:24], "big") / 2**64
+    if u0 < 0.20:
+        clat, clon, half = _HOTSPOTS[int(u0 * 1e9) % 3]
+        return clat + (u1 - 0.5) * 2 * half, clon + (u2 - 0.5) * 2 * half
+    return -60.0 + u1 * 120.0, -180.0 + u2 * 360.0
+
+
+def make_images_pdf(n: int, start: int = 0, with_pixels: bool = True) -> pd.DataFrame:
+    """Deterministic images batch [start, start+n). Schema per
+    BASELINE.json:15 + derived lat/lon (FIXTURES.md §B)."""
+    recs = []
+    for i in range(start, start + n):
+        image_id = f"img{i:08d}"
+        w = _W_CYCLE[i % len(_W_CYCLE)]
+        h = _H_CYCLE[i % len(_H_CYCLE)]
+        fmt = _FMT_CYCLE[i % len(_FMT_CYCLE)]
+        lat, lon = image_latlon(image_id)
+        rng = np.random.default_rng(np.random.PCG64(SEED ^ (i * 2654435761 % 2**31)))
+        if with_pixels:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            # blend toward a smooth gradient so rle/qjpg have compressible runs
+            grad = (np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+                    * np.ones((h, 1, 3)))
+            img = ((img.astype(np.float64) * 0.25 + grad * 0.75)).astype(np.uint8)
+            buf = codecs.encode(img, fmt)
+            ph = codecs.phash64(img)
+        else:
+            buf, ph = b"", 0
+        wi = rng.integers(0, len(_WORDS), 6)
+        caption = f"caption of {image_id}: " + " ".join(_WORDS[k] for k in wi)
+        recs.append((image_id, buf, w, h, fmt, caption, ph, lat, lon))
+    return pd.DataFrame(recs, columns=["image_id", "bytes", "w", "h", "fmt",
+                                       "caption", "phash", "lat", "lon"])
+
+
+def write_images_parquet(path: str, n: int, chunk: int = 20_000,
+                         with_pixels: bool = True) -> None:
+    """Chunked deterministic writer for bench-scale image tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema([
+        ("image_id", pa.string()), ("bytes", pa.binary()),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64()),
+        ("lat", pa.float64()), ("lon", pa.float64()),
+    ])
+    with pq.ParquetWriter(path, schema, compression="zstd") as wr:
+        for s in range(0, n, chunk):
+            pdf = make_images_pdf(min(chunk, n - s), start=s, with_pixels=with_pixels)
+            pdf["w"] = pdf["w"].astype("int32")
+            pdf["h"] = pdf["h"].astype("int32")
+            wr.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))
+
+
+def make_knn_queries_pdf(n: int, seed: int = 77) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    lat = np.empty(n)
+    lon = np.empty(n)
+    for q in range(n):
+        if q % 2 == 0:
+            clat, clon, half = _HOTSPOTS[q % 3]
+            lat[q] = clat + rng.uniform(-half, half)
+            lon[q] = clon + rng.uniform(-half, half)
+        else:
+            lat[q] = rng.uniform(-60, 60)
+            lon[q] = rng.uniform(-180, 180)
+    return pd.DataFrame({"query_id": np.arange(n, dtype=np.int64),
+                         "lat": lat, "lon": lon})
