@@ -16,7 +16,9 @@ import numpy as np
 
 from .cells import cell_encode, cell_center, cell_size_deg, latlon_to_ij, ij_to_cell
 
-EPS = 1e-12
+# boundary tolerance in degrees: points within EPS of an edge/vertex count
+# as inside (single knob — both the line-distance and bbox tests use it)
+EPS = 1e-9
 
 
 def _as_edges(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -43,7 +45,7 @@ def points_in_ring(plat: np.ndarray, plon: np.ndarray, ring: np.ndarray) -> np.n
     dx, dy = x2 - x1, y2 - y1
     cross = dx * (py - y1) - dy * (px - x1)
     seg_len2 = dx * dx + dy * dy
-    on_line = cross * cross <= EPS * np.maximum(seg_len2, EPS)
+    on_line = cross * cross <= (EPS * EPS) * np.maximum(seg_len2, EPS * EPS)
     in_bbox = ((px >= np.minimum(x1, x2) - EPS) & (px <= np.maximum(x1, x2) + EPS) &
                (py >= np.minimum(y1, y2) - EPS) & (py <= np.maximum(y1, y2) + EPS))
     on_edge = (on_line & in_bbox).any(axis=1)

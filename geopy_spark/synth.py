@@ -161,7 +161,9 @@ def make_images_pdf(n: int, start: int = 0, with_pixels: bool = True) -> pd.Data
                     * np.ones((h, 1, 3)))
             img = ((img.astype(np.float64) * 0.25 + grad * 0.75)).astype(np.uint8)
             buf = codecs.encode(img, fmt)
-            ph = codecs.phash64(img)
+            # phash of the DECODED payload (FIXTURES.md): for lossy fmts the
+            # stored hash must match what a reader recomputes from `bytes`
+            ph = codecs.phash64(codecs.decode(buf, fmt, w, h))
         else:
             buf, ph = b"", 0
         wi = rng.integers(0, len(_WORDS), 6)

@@ -1,0 +1,99 @@
+"""PIP kernel truth tables incl. degeneracies, winding agreement, and the
+cover-superset guarantee (SURVEY.md §5.2; BASELINE.json:6 ray-casting with
+winding-number fallback)."""
+
+import numpy as np
+
+from geopy_spark.kernels import cells as K
+from geopy_spark.kernels import pip as P
+
+SQUARE = np.array([[0, 0], [0, 10], [10, 10], [10, 0]], dtype=float)
+
+
+def _star(nv=10, r_out=10.0, r_in=4.0, clat=0.0, clon=0.0):
+    th = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    rr = np.where(np.arange(nv) % 2 == 0, r_out, r_in)
+    return np.stack([clat + rr * np.sin(th), clon + rr * np.cos(th)], axis=1)
+
+
+def test_square_truth_table():
+    cases = [
+        ((5.0, 5.0), True),      # interior
+        ((5.0, 15.0), False),    # outside east
+        ((-1e-9, 5.0), True),    # on edge (within EPS) → inside by convention
+        ((0.0, 0.0), True),      # vertex → inside
+        ((10.0, 10.0), True),    # far vertex
+        ((5.0, 10.0), True),     # on east edge
+        ((10.000001, 5.0), False),
+        ((5.0, -0.000001), False),
+    ]
+    lat = np.array([c[0][0] for c in cases])
+    lon = np.array([c[0][1] for c in cases])
+    exp = [c[1] for c in cases]
+    assert list(P.points_in_ring(lat, lon, SQUARE)) == exp
+
+
+def test_vertex_on_ray_degeneracy():
+    # ray through a vertex: triangle with vertex at lat=5 exactly; point west
+    # of it at the same latitude → ray passes through the vertex
+    tri = np.array([[0, 0], [5, 10], [10, 0]], dtype=float)
+    inside = P.points_in_ring(np.array([5.0]), np.array([2.6]), tri)
+    assert inside[0]
+    outside = P.points_in_ring(np.array([5.0]), np.array([-0.1]), tri)
+    assert not outside[0]
+
+
+def test_star_nonconvex():
+    star = _star()
+    # center inside; points between spikes outside at r between r_in and r_out
+    assert P.points_in_ring(np.array([0.0]), np.array([0.0]), star)[0]
+    # midway angle between spike 0 (th=0) and spike 2 (th=2pi/10*2):
+    th = 2 * np.pi / 10
+    r = 8.0  # > r_in contour at that angle
+    p = (r * np.sin(th), r * np.cos(th))
+    assert not P.points_in_ring(np.array([p[0]]), np.array([p[1]]), star)[0]
+    p2 = (2.0 * np.sin(th), 2.0 * np.cos(th))
+    assert P.points_in_ring(np.array([p2[0]]), np.array([p2[1]]), star)[0]
+
+
+def test_raycast_equals_winding_on_simple_polys():
+    rng = np.random.default_rng(11)
+    star = _star(14, 9.0, 3.0, 5.0, 7.0)
+    lat = rng.uniform(-6, 16, 4000)
+    lon = rng.uniform(-4, 18, 4000)
+    res = P.points_in_ring(lat, lon, star)
+    y1, x1, y2, x2 = P._as_edges(star)
+    wn = P._winding_number(lat, lon, y1, x1, y2, x2)
+    # away from edges, ray parity == nonzero winding for simple polygons
+    d_edge = _min_edge_dist(lat, lon, star)
+    far = d_edge > 1e-6
+    assert np.array_equal(res[far], (wn != 0)[far])
+
+
+def _min_edge_dist(plat, plon, ring):
+    y1, x1, y2, x2 = P._as_edges(ring)
+    py, px = plat[:, None], plon[:, None]
+    dy, dx = y2 - y1, x2 - x1
+    t = ((py - y1) * dy + (px - x1) * dx) / (dy * dy + dx * dx)
+    t = np.clip(t, 0, 1)
+    return np.sqrt((py - (y1 + t * dy)) ** 2 + (px - (x1 + t * dx)) ** 2).min(axis=1)
+
+
+def test_cover_no_false_negatives():
+    rng = np.random.default_rng(12)
+    for trial in range(5):
+        star = _star(int(rng.integers(6, 20)), rng.uniform(3, 12),
+                     rng.uniform(0.5, 2.5), rng.uniform(-50, 50), rng.uniform(-150, 150))
+        for lvl in (5, 7, 9):
+            cov = P.polygon_cover(star, lvl)
+            lat = rng.uniform(star[:, 0].min(), star[:, 0].max(), 3000)
+            lon = rng.uniform(star[:, 1].min(), star[:, 1].max(), 3000)
+            inside = P.points_in_ring(lat, lon, star)
+            cells_of_inside = K.cell_encode(lat[inside], lon[inside], lvl)
+            assert np.isin(cells_of_inside, cov).all(), (trial, lvl)
+
+
+def test_cover_is_reasonably_tight():
+    cov = P.polygon_cover(SQUARE, 8)
+    # bbox 10x10deg at level8: cell 0.703x1.406deg → bbox grid ~ 15x8=120
+    assert 20 <= len(cov) <= 160

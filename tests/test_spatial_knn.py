@@ -1,0 +1,85 @@
+"""Spark-level property tests: engine spatial join ≡ exhaustive PIP over
+all pairs; engine kNN ≡ brute-force top-k (SURVEY.md §5.2 item 3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geopy_spark import synth
+from geopy_spark.entry_queries import _REGIONS_SCHEMA
+from geopy_spark.kernels import geodesy, pip as P
+from geopy_spark.operators.knn import knn_join
+from geopy_spark.operators.spatial_join import spatial_join
+
+N_PTS = 400
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    img = synth.make_images_pdf(N_PTS, with_pixels=False)
+    return img[["image_id", "lat", "lon"]].rename(columns={"image_id": "point_id"})
+
+
+@pytest.fixture(scope="module")
+def polys():
+    return synth.oracle_polygons(n=30, seed=99)
+
+
+def test_spatial_join_matches_bruteforce(spark, points_pdf, polys):
+    pts = spark.createDataFrame(points_pdf)
+    regions = spark.createDataFrame(synth.polygons_pdf(polys), schema=_REGIONS_SCHEMA)
+    got = {(r.point_id, r.poly_id)
+           for r in spatial_join(pts, regions, point_id="point_id", level=7).collect()}
+
+    exp = set()
+    for pid, ring in polys:
+        ring_np = np.asarray(ring, dtype=np.float64)
+        inside = P.points_in_ring(points_pdf["lat"].to_numpy(),
+                                  points_pdf["lon"].to_numpy(), ring_np)
+        for point_id in points_pdf["point_id"].to_numpy()[inside]:
+            exp.add((point_id, pid))
+    assert got == exp
+
+
+def test_spatial_join_level_invariance(spark, points_pdf, polys):
+    pts = spark.createDataFrame(points_pdf)
+    regions = spark.createDataFrame(synth.polygons_pdf(polys), schema=_REGIONS_SCHEMA)
+    a = set(map(tuple, spatial_join(pts, regions, point_id="point_id", level=5).collect()))
+    b = set(map(tuple, spatial_join(pts, regions, point_id="point_id", level=8).collect()))
+    assert a == b
+
+
+@pytest.mark.parametrize("k,level", [(1, 4), (5, 4), (5, 6), (25, 3)])
+def test_knn_exact_vs_bruteforce(spark, points_pdf, k, level):
+    qpdf = synth.make_knn_queries_pdf(24)
+    pts = spark.createDataFrame(
+        points_pdf.rename(columns={"point_id": "id"}))
+    qs = spark.createDataFrame(qpdf)
+    got = {(r.query_id, r.neighbor_id, r["rank"])
+           for r in knn_join(qs, pts, k=k, level=level, point_id="id").collect()}
+
+    exp = set()
+    plat = points_pdf["lat"].to_numpy()
+    plon = points_pdf["lon"].to_numpy()
+    ids = points_pdf["point_id"].to_numpy()
+    for _, q in qpdf.iterrows():
+        d = geodesy.haversine_m(q["lat"], q["lon"], plat, plon)
+        order = np.lexsort((ids, d))[:k]
+        for rk, idx in enumerate(order, start=1):
+            exp.add((q["query_id"], ids[idx], rk))
+    assert got == exp
+
+
+def test_knn_hotspot_skew(spark, points_pdf):
+    # all queries in one hotspot box — worst-case candidate skew
+    qpdf = pd.DataFrame({
+        "query_id": np.arange(8, dtype=np.int64),
+        "lat": np.linspace(40.3, 41.1, 8),
+        "lon": np.linspace(-74.4, -73.6, 8),
+    })
+    pts = spark.createDataFrame(points_pdf.rename(columns={"point_id": "id"}))
+    qs = spark.createDataFrame(qpdf)
+    out = knn_join(qs, pts, k=3, level=5, point_id="id")
+    cnt = out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    assert len(cnt) == 8 and all(r.n == 3 for r in cnt)

@@ -1,0 +1,89 @@
+"""Tile pyramid exactness/determinism + image-operator invariants
+(SURVEY.md §2.2 G8-G9, §2.3; BASELINE.json:15 caption byte-equality)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geopy_spark import synth
+from geopy_spark.operators.images import (decode_mean_udf, phash_udf,
+                                          psnr_vs_udf, transcode)
+from geopy_spark.operators.tiling import assign_tiles, tile_pyramid, tile_stats
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    return spark.createDataFrame(synth.make_images_pdf(200)).persist()
+
+
+def test_tile_assign_bounds(spark, images_df):
+    t = assign_tiles(images_df, z=7)
+    mm = t.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
+    assert 0 <= mm[0] and mm[1] < 2 ** 7 and 0 <= mm[2] and mm[3] < 2 ** 7
+
+
+def test_pyramid_exact_and_repartition_stable(spark, images_df):
+    leaf = tile_stats(images_df, z=6)
+    pyr = tile_pyramid(leaf, z_max=6, z_min=0).collect()
+    by_level = {}
+    for r in pyr:
+        by_level.setdefault(r.z, 0)
+        by_level[r.z] += r.cnt
+    n = images_df.count()
+    assert all(v == n for v in by_level.values())          # counts conserved per level
+    # z0 is a single world tile
+    z0 = [r for r in pyr if r.z == 0]
+    assert len(z0) == 1 and z0[0].cnt == n
+    # repartition invariance (determinism under different physical layout)
+    leaf2 = tile_stats(images_df.repartition(13), z=6)
+    pyr2 = {(r.z, r.x, r.y): r.cnt for r in tile_pyramid(leaf2, z_max=6, z_min=0).collect()}
+    assert {(r.z, r.x, r.y): r.cnt for r in pyr} == pyr2
+
+
+def test_pyramid_weighted_mean_exact(spark, images_df):
+    with_mean = images_df.withColumn(
+        "mv", decode_mean_udf(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
+    leaf = tile_stats(with_mean, z=5, value_col="mv")
+    pyr = tile_pyramid(leaf, z_max=5, z_min=0, has_mean=True)
+    top = pyr.filter(F.col("z") == 0).collect()[0]
+    exact = with_mean.agg(F.avg("mv")).collect()[0][0]
+    assert abs(top.mean_val - exact) < 1e-9               # exact associative rollup
+
+
+def test_decode_mean_and_phash_match_kernel(spark, images_df):
+    from geopy_spark.kernels import codecs as C
+    got = (images_df.select("image_id", "bytes", "fmt", "w", "h", "phash")
+           .withColumn("mv", decode_mean_udf(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
+           .withColumn("ph2", phash_udf(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
+           .collect())
+    for r in got:
+        img = C.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        assert abs(float(img.mean()) - r.mv) < 1e-9
+        assert r.ph2 == r.phash                           # stored == recomputed
+
+
+def test_transcode_invariants(spark, images_df):
+    # raw → qjpg: captions byte-identical, PSNR ≥ 40, phash drift ≤ 8 bits
+    out = transcode(images_df, "qjpg").withColumnRenamed("bytes", "bytes2") \
+        .withColumnRenamed("fmt", "fmt2").select("image_id", "bytes2", "fmt2", "caption")
+    j = images_df.select("image_id", "bytes", "fmt", "w", "h",
+                         F.col("caption").alias("cap0")).join(out, "image_id")
+    chk = j.select(
+        (F.col("cap0") == F.col("caption")).alias("cap_eq"),
+        psnr_vs_udf(F.col("bytes"), F.col("fmt"), F.col("bytes2"), F.col("fmt2"),
+                    F.col("w"), F.col("h")).alias("p"),
+    ).collect()
+    assert all(r.cap_eq for r in chk)
+    assert all(r.p >= 40.0 for r in chk)
+
+
+def test_images_parquet_writer(tmp_path, spark):
+    path = str(tmp_path / "img.parquet")
+    synth.write_images_parquet(path, 50, chunk=16)
+    df = spark.read.parquet(path)
+    assert df.count() == 50
+    pdf = synth.make_images_pdf(3)
+    got = {r.image_id: r for r in df.filter(F.col("image_id") < "img00000003").collect()}
+    for _, row in pdf.iterrows():
+        assert bytes(got[row["image_id"]].bytes) == bytes(row["bytes"])
+        assert got[row["image_id"]].caption == row["caption"]
