@@ -1,0 +1,130 @@
+"""Headline benchmark (driver-run per round; BENCH_r{N}.json).
+
+Runs scale-stressing queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The spatial headline runs over ~600k lineitem-derived points (not the 15k
+customer table) so the cell join / kNN / pyramid paths see real volume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geopy_spark import synth  # noqa: E402
+from geopy_spark.entry_queries import (_REGIONS_SCHEMA, q_pricing_summary)  # noqa: E402
+from geopy_spark.functions import geo  # noqa: E402
+from geopy_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from geopy_spark.operators.knn import knn_join  # noqa: E402
+from geopy_spark.operators.similarity import brute_force_topk  # noqa: E402
+from geopy_spark.operators.spatial_join import spatial_join  # noqa: E402
+from geopy_spark.operators.tiling import tile_pyramid, tile_stats  # noqa: E402
+from geopy_spark.session import get_spark, load_table  # noqa: E402
+
+
+def lineitem_points(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("bigint")
+    return li.select(key.alias("point_id"),
+                     geo.derived_lat(key).alias("lat"),
+                     geo.derived_lon(key).alias("lon"))
+
+
+def b_spatial_join(spark, sf_dir):
+    pts = lineitem_points(spark, sf_dir)
+    regions = spark.createDataFrame(
+        synth.polygons_pdf(synth.oracle_polygons(48, seed=7)), schema=_REGIONS_SCHEMA)
+    return spatial_join(pts, regions, point_id="point_id", level=7).count()
+
+
+def b_knn(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    qs = s.select(F.col("s_suppkey").alias("query_id"),
+                  geo.derived_lat(F.col("s_suppkey") + 500000).alias("lat"),
+                  geo.derived_lon(F.col("s_suppkey") + 500000).alias("lon"))
+    pts = lineitem_points(spark, sf_dir).withColumnRenamed("point_id", "id")
+    return knn_join(qs, pts, k=10, level=8, point_id="id").count()
+
+
+def b_tile_pyramid(spark, sf_dir):
+    pts = lineitem_points(spark, sf_dir)
+    leaf = tile_stats(pts, z=8)
+    return tile_pyramid(leaf, z_max=8, z_min=0).count()
+
+
+def b_pricing(spark, sf_dir):
+    return q_pricing_summary(spark, sf_dir).count()
+
+
+def b_minhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.3).count()
+
+
+def b_embedding_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in e.filter(F.col("vec_id") == 0)
+          .select(F.explode("embedding")).collect()]
+    return brute_force_topk(e, qv, k=10, exclude_id=0).count()
+
+
+BENCH = {
+    "spatial_join": b_spatial_join,
+    "knn": b_knn,
+    "tile_pyramid": b_tile_pyramid,
+    "pricing_summary": b_pricing,
+    "minhash_neardup": b_minhash,
+    "embedding_topk": b_embedding_topk,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM, broadcast machinery and the Arrow python-worker pool so
+    # per-query times measure the plan, not session spin-up
+    from geopy_spark.functions.cells import cell_encode_udf
+    warm = spark.range(0, 100000, 1, 32).select(
+        (F.col("id") % 89).cast("double").alias("lat"),
+        (F.col("id") % 179).cast("double").alias("lon"),
+        F.col("id"))
+    warm = warm.withColumn("c", cell_encode_udf(F.col("lat"), F.col("lon"), 7))
+    warm.join(F.broadcast(spark.range(10)), "id", "left_semi").count()
+    load_table(spark, sf_dir, "lineitem").count()
+
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name, fn in BENCH.items():
+        t0 = time.monotonic()
+        counts[name] = fn(spark, sf_dir)
+        times[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    n_pts = load_table(spark, sf_dir, "lineitem").count()
+    print(json.dumps({
+        "metric": "spatial_join+tiling headline wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "counts": counts,
+        "spatial_rows_per_sec": round(n_pts / max(times["spatial_join"], 1e-9), 1),
+        "cores": cores,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,12 +51,13 @@ def _with_cell(df: DataFrame, level: int) -> DataFrame:
     return df.withColumn("cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
 
 
-def _candidates(queries: DataFrame, points: DataFrame, ri_col, rj_col) -> DataFrame:
+def _candidates(queries: DataFrame, points: DataFrame, ri_col, rj_col,
+                extra: tuple[str, ...] = ()) -> DataFrame:
     """Explode per-query disk cells and equi-join the point table."""
     q = (queries
          .withColumn("qcell", F.explode(_disk_rect_udf(F.col("cell"), ri_col, rj_col)))
          .select("query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
-                 F.col("qcell").alias("cell")))
+                 F.col("qcell").alias("cell"), *extra))
     return (points.join(F.broadcast(q), "cell")
             .withColumn("dist_m", haversine_m(F.col("qlat"), F.col("qlon"),
                                               F.col("lat"), F.col("lon"))))
@@ -76,27 +77,39 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     pts = _with_cell(points, level).select(F.col(point_id).alias("nid"),
                                            "lat", "lon", "cell")
     pts = pts.persist()
+    pts.count()  # materialize once; both phases re-join this cached side
     qry = _with_cell(queries, level).select("query_id", "lat", "lon", "cell").persist()
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("nid").asc())
 
-    # ---- Phase 1: grow disks until every query has >= k candidates
+    # ---- Phase 1: grow disks until every query has >= k candidates.
+    # Each iteration materializes its per-query stats (count + kth distance)
+    # so the union/phase-2 never re-trigger the candidate join + window.
     pending = qry
     dmax_parts = []
     r = r0
     while True:
-        cand = _candidates(pending, pts, F.lit(r), F.lit(2 * r))
+        cand = _candidates(pending, pts, F.lit(r), F.lit(2 * r)) \
+            .select("query_id", "nid", "dist_m")
         ranked = cand.withColumn("rk", F.row_number().over(w))
         stats = (ranked.groupBy("query_id")
                  .agg(F.count("*").alias("n_cand"),
-                      F.max(F.when(F.col("rk") == k, F.col("dist_m"))).alias("dk")))
+                      F.max(F.when(F.col("rk") == k, F.col("dist_m"))).alias("dk"))
+                 ).persist()
+        n_stats = stats.count()
         done = stats.filter((F.col("n_cand") >= k) | F.lit(r >= max_r))
-        dmax_parts.append(done.select("query_id", F.coalesce("dk", F.lit(0.0)).alias("dk"),
-                                      F.lit(r).alias("r1")))
+        n_done = done.count()
+        dmax_parts.append(done.select(
+            "query_id", F.coalesce("dk", F.lit(0.0)).alias("dk"),
+            F.lit(r).alias("r1"), (F.col("n_cand") >= k).alias("full")))
         # zero-candidate queries never appear in stats → they stay pending
-        pending = pending.join(done.select("query_id"), "query_id", "left_anti")
-        if r >= max_r or pending.isEmpty():
+        if r >= max_r:
             break
+        if n_done == n_stats:
+            n_pending = pending.count()
+            if n_done == n_pending:
+                break
+        pending = pending.join(done.select("query_id"), "query_id", "left_anti")
         r *= 2
 
     dmax = dmax_parts[0]
@@ -117,10 +130,16 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     rj = F.greatest(rj, F.col("r1") * 2)
 
     q2 = q2.select("query_id", "lat", "lon", "cell",
-                   ri.alias("_ri"), rj.alias("_rj"))
-    cand2 = _candidates(q2, pts, F.col("_ri"), F.col("_rj"))
+                   ri.alias("_ri"), rj.alias("_rj"), F.col("dk").alias("_dk"),
+                   F.col("full").alias("_full"))
+    cand2 = _candidates(q2, pts, F.col("_ri"), F.col("_rj"), extra=("_dk", "_full"))
+    # prune before the window: when phase 1 found >= k candidates, any point
+    # farther than the dk upper bound cannot be in the true top-k
+    cand2 = cand2.filter((~F.col("_full")) | (F.col("dist_m") <= F.col("_dk")))
 
     out = (cand2.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k)
            .select("query_id", F.col("nid").alias("neighbor_id"), "rank"))
+    for df in (pts, qry):
+        df.unpersist()
     return out

@@ -1,0 +1,193 @@
+"""Iceberg-compatible table emulation over parquet ("icetab") —
+SURVEY.md §2.2 G11 / §4.2: snapshot-isolated reads, atomic rename-as-commit
+appends, per-partition lineage rows, and resumable checkpoints so a killed
+job restarts at the last committed snapshot (north_rule BASELINE.json:14).
+
+No Iceberg runtime jar exists in this sandbox (SURVEY.md §0), so this is a
+thin, faithful emulation of the parts the engine depends on, behind a
+small API seam — on a real cluster with iceberg-spark-runtime the same
+call sites bind to a catalog table instead (documented adapter seam).
+
+Layout:
+
+    <table>/metadata/version-hint.txt   current version N (atomic rename)
+    <table>/metadata/v<N>.json          snapshot: manifest path + parent
+    <table>/manifests/snap-<N>.parquet  rows: (partition, file, rows)
+    <table>/data/<partition>/*.parquet  data files (immutable once committed)
+    <table>/lineage/snap-<N>.parquet    rows: (run_id, snapshot_id, partition,
+                                         rows_out, wall_ms, n_files)
+
+Invariants:
+* Readers resolve files ONLY through the committed manifest → files written
+  by an in-flight (or killed) job are invisible: snapshot isolation.
+* Commit = write manifest + vN.json to temp names, fsync, two renames
+  (json, then hint). A kill at any point leaves the previous snapshot
+  intact. Single-writer discipline (the job scheduler's responsibility at
+  scale; documented limitation vs a real metastore).
+* A partition appears in at most one snapshot's manifest delta → resume =
+  planned_partitions − committed_partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_SCHEMA = pa.schema([
+    ("partition", pa.string()), ("file", pa.string()), ("rows", pa.int64()),
+])
+_LINEAGE_SCHEMA = pa.schema([
+    ("run_id", pa.string()), ("snapshot_id", pa.int64()),
+    ("partition", pa.string()), ("rows_out", pa.int64()),
+    ("wall_ms", pa.int64()), ("n_files", pa.int64()),
+])
+
+
+class IceTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.manifest_dir = os.path.join(path, "manifests")
+        self.data_dir = os.path.join(path, "data")
+        self.lineage_dir = os.path.join(path, "lineage")
+        for d in (self.meta_dir, self.manifest_dir, self.data_dir, self.lineage_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # ------------------------------------------------------------- metadata
+    def properties(self) -> dict:
+        """Table-level properties (job parameter fingerprint etc.)."""
+        p = os.path.join(self.meta_dir, "properties.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def set_properties(self, props: dict) -> None:
+        _write_text_atomic(os.path.join(self.meta_dir, "properties.json"),
+                           json.dumps(props, indent=1))
+
+    def current_version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.txt")
+        if not os.path.exists(hint):
+            return 0
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> dict | None:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return None
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def manifest_rows(self, version: int | None = None) -> list[dict]:
+        """Cumulative manifest of the snapshot (follows parent chain)."""
+        rows: list[dict] = []
+        v = self.current_version() if version is None else version
+        while v > 0:
+            snap = self.snapshot(v)
+            t = pq.read_table(os.path.join(self.path, snap["manifest"]))
+            rows.extend(t.to_pylist())
+            v = snap["parent"]
+        return rows
+
+    def committed_partitions(self) -> set[str]:
+        return {r["partition"] for r in self.manifest_rows()}
+
+    # ----------------------------------------------------------------- read
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Snapshot-isolated read: only manifest-listed files."""
+        files = [os.path.join(self.path, r["file"]) for r in self.manifest_rows()]
+        if not files:
+            raise FileNotFoundError(f"icetab {self.path}: no committed snapshot")
+        return spark.read.parquet(*files)
+
+    def read_partition(self, spark: SparkSession, partition: str) -> DataFrame:
+        files = [os.path.join(self.path, r["file"])
+                 for r in self.manifest_rows() if r["partition"] == partition]
+        return spark.read.parquet(*files)
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lineage_dir)
+
+    # ---------------------------------------------------------------- write
+    def write_partition(self, df: DataFrame, partition: str) -> dict:
+        """Write one partition's data files (NOT yet visible — becomes
+        visible only at the next commit()). Returns manifest delta rows +
+        lineage row for this partition."""
+        t0 = time.monotonic()
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        part_dir = os.path.join(self.data_dir, partition)
+        os.makedirs(part_dir, exist_ok=True)
+        deltas, rows_out = [], 0
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet"):
+                continue
+            dst = os.path.join(part_dir, f"{uuid.uuid4().hex}.parquet")
+            shutil.move(os.path.join(staging, fn), dst)
+            nrows = pq.read_metadata(dst).num_rows
+            rows_out += nrows
+            deltas.append({"partition": partition,
+                           "file": os.path.relpath(dst, self.path),
+                           "rows": int(nrows)})
+        shutil.rmtree(staging, ignore_errors=True)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = {"partition": partition, "rows_out": int(rows_out),
+                   "wall_ms": wall_ms, "n_files": len(deltas)}
+        return {"deltas": deltas, "lineage": lineage}
+
+    def commit(self, pending: list[dict], run_id: str) -> int:
+        """Atomically publish a batch of write_partition results as one new
+        snapshot. Kill-safe: tmp-write + fsync + rename; the version hint
+        flips last."""
+        v_old = self.current_version()
+        v_new = v_old + 1
+        snap_id = v_new
+
+        deltas = [d for p in pending for d in p["deltas"]]
+        man_rel = os.path.join("manifests", f"snap-{v_new}.parquet")
+        _write_parquet_atomic(
+            pa.Table.from_pylist(deltas, schema=_MANIFEST_SCHEMA),
+            os.path.join(self.path, man_rel))
+
+        lin_rows = [{**p["lineage"], "run_id": run_id, "snapshot_id": snap_id}
+                    for p in pending]
+        _write_parquet_atomic(
+            pa.Table.from_pylist(lin_rows, schema=_LINEAGE_SCHEMA),
+            os.path.join(self.lineage_dir, f"snap-{v_new}.parquet"))
+
+        meta = {"snapshot_id": snap_id, "parent": v_old, "manifest": man_rel,
+                "partitions": sorted({d["partition"] for d in deltas}),
+                "run_id": run_id}
+        _write_text_atomic(os.path.join(self.meta_dir, f"v{v_new}.json"),
+                           json.dumps(meta, indent=1))
+        _write_text_atomic(os.path.join(self.meta_dir, "version-hint.txt"),
+                           str(v_new))
+        return v_new
+
+    def append(self, df: DataFrame, partition: str, run_id: str) -> int:
+        """Convenience: write one partition and commit it as one snapshot."""
+        return self.commit([self.write_partition(df, partition)], run_id)
+
+
+def _write_text_atomic(path: str, content: str) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _write_parquet_atomic(table: pa.Table, path: str) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, path)

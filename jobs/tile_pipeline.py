@@ -1,0 +1,153 @@
+"""EP-3: the full spatial-join + tiling pipeline (SURVEY.md §3.2), the
+north-rule benchmark job (BASELINE.json:14): runs via
+
+    spark-submit --py-files geopy_spark.zip jobs/tile_pipeline.py \
+        --input <images.parquet> --output <icetab dir> [--resume] ...
+
+Stages: scan images → qcell encode (G1) → spatial join vs polygon fixture
+(G6) → web-mercator tile assignment at z_max with Arrow-UDF payload decode
+(G8/I1) → tile pyramid levels z_max..0 (G9), each level one atomic icetab
+snapshot (G11) with per-partition lineage rows; --resume skips partitions
+already committed, so a killed job restarts at the last snapshot.
+
+Scale notes: the join broadcasts the exploded polygon cover (small vector
+side); image `bytes` never enters a shuffle — decode happens in a narrow
+map stage before the tile groupBy, which aggregates only (tile, cnt, mean).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geopy_spark import synth  # noqa: E402
+from geopy_spark.entry_queries import _REGIONS_SCHEMA  # noqa: E402
+from geopy_spark.operators.images import decode_mean_udf  # noqa: E402
+from geopy_spark.operators.spatial_join import spatial_join  # noqa: E402
+from geopy_spark.operators.tiling import tile_stats  # noqa: E402
+from geopy_spark.session import get_spark  # noqa: E402
+from geopy_spark.sources.icetab import IceTable  # noqa: E402
+
+
+def build_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="images parquet path")
+    ap.add_argument("--output", required=True, help="icetab output table dir")
+    ap.add_argument("--level", type=int, default=7, help="qcell join level")
+    ap.add_argument("--zmax", type=int, default=8)
+    ap.add_argument("--n-polys", type=int, default=48)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--decode", action="store_true",
+                    help="decode payloads for per-tile mean-pixel stat")
+    ap.add_argument("--fail-after", default=None,
+                    help="fault injection: kill after committing this partition")
+    return ap.parse_args(argv)
+
+
+def run(args, spark=None) -> dict:
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark("tile_pipeline", cores=args.cores,
+                          shuffle_partitions=args.shuffle_partitions)
+    t0 = time.monotonic()
+    run_id = uuid.uuid4().hex[:12]
+    table = IceTable(args.output)
+    committed = table.committed_partitions() if args.resume else set()
+    if not args.resume and table.current_version() > 0:
+        raise SystemExit(f"{args.output} already has snapshots; pass --resume")
+
+    # a resume with different job parameters would silently mix outputs —
+    # record the parameter fingerprint in table properties and refuse drift
+    params = {"level": args.level, "zmax": args.zmax, "n_polys": args.n_polys,
+              "decode": args.decode, "input": os.path.abspath(args.input)}
+    prev = table.properties()
+    if args.resume and prev and prev.get("params") != params:
+        raise SystemExit(f"--resume parameter mismatch: table was written with "
+                         f"{prev.get('params')}, got {params}")
+    table.set_properties({"params": params})
+
+    images = spark.read.parquet(args.input)
+    n_images = images.count()
+
+    planned = ["join_pairs"] + [f"z={z}" for z in range(args.zmax, -1, -1)]
+
+    # ---- stage 1: spatial join (G6) — its own snapshot
+    if "join_pairs" not in committed:
+        regions = spark.createDataFrame(
+            synth.polygons_pdf(synth.oracle_polygons(args.n_polys, seed=7)),
+            schema=_REGIONS_SCHEMA)
+        pts = images.select(F.col("image_id").alias("point_id"), "lat", "lon")
+        pairs = (spatial_join(pts, regions, point_id="point_id", level=args.level)
+                 .withColumnRenamed("point_id", "image_id")
+                 .sortWithinPartitions("image_id", "poly_id"))
+        table.commit([table.write_partition(pairs, "join_pairs")], run_id)
+        _maybe_fail(args, "join_pairs")
+
+    # ---- stage 2: leaf tiles at z_max (G8, + I1 decode when --decode)
+    leaf_part = f"z={args.zmax}"
+    base = images
+    if args.decode:
+        base = base.withColumn("mv", decode_mean_udf(
+            F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
+        leaf = tile_stats(base.select("lat", "lon", "mv"), args.zmax, value_col="mv")
+    else:
+        leaf = tile_stats(base.select("lat", "lon"), args.zmax)
+        leaf = leaf.withColumn("mean_val", F.lit(None).cast("double"))
+
+    if leaf_part not in committed:
+        out = leaf.sortWithinPartitions("x", "y")
+        table.commit([table.write_partition(out, leaf_part)], run_id)
+        _maybe_fail(args, leaf_part)
+
+    # ---- stage 3: pyramid levels (G9), one snapshot per level, parent read
+    # from the COMMITTED child partition (so resume is consistent)
+    for z in range(args.zmax - 1, -1, -1):
+        part = f"z={z}"
+        if part in committed:
+            continue
+        child = table.read_partition(spark, f"z={z + 1}")
+        parent = (child.select(
+            F.lit(z).alias("z"),
+            F.floor(F.col("x") / 2).alias("x"),
+            F.floor(F.col("y") / 2).alias("y"),
+            "cnt", (F.col("mean_val") * F.col("cnt")).alias("wsum"))
+            .groupBy("z", "x", "y")
+            .agg(F.sum("cnt").alias("cnt"),
+                 (F.sum("wsum") / F.sum("cnt")).alias("mean_val"))
+            .sortWithinPartitions("x", "y"))
+        table.commit([table.write_partition(parent, part)], run_id)
+        _maybe_fail(args, part)
+
+    wall = time.monotonic() - t0
+    result = {
+        "run_id": run_id,
+        "rows_in": n_images,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_images / wall, 1),
+        "snapshots": table.current_version(),
+        "partitions": len(table.committed_partitions()),
+        "planned": len(planned),
+    }
+    if own_spark:
+        spark.stop()
+    return result
+
+
+def _maybe_fail(args, partition: str) -> None:
+    if args.fail_after == partition:
+        print(f"FAULT-INJECT: exiting after committing {partition}", flush=True)
+        os._exit(42)
+
+
+if __name__ == "__main__":
+    print(json.dumps(run(build_args())))

@@ -1,0 +1,94 @@
+"""icetab snapshot isolation + atomic commit + kill-resume equivalence
+(SURVEY.md §5.2 item 4; north_rule resumable-checkpoint requirement)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopy_spark import synth
+from geopy_spark.sources.icetab import IceTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def images_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "images.parquet"
+    synth.write_images_parquet(str(p), 400)
+    return str(p)
+
+
+def test_snapshot_isolation_and_commit(spark, tmp_path):
+    t = IceTable(str(tmp_path / "t1"))
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    pend = t.write_partition(df, "p=0")
+    # not committed yet → invisible
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+    v = t.commit([pend], run_id="r1")
+    assert v == 1
+    assert t.read(spark).count() == 100
+    assert t.committed_partitions() == {"p=0"}
+    # second snapshot appends a partition; first stays intact
+    t.append(spark.range(50).withColumn("v", F.col("id")), "p=1", "r1")
+    assert t.current_version() == 2
+    assert t.read(spark).count() == 150
+    assert t.read_partition(spark, "p=0").count() == 100
+    # lineage has one row per partition-commit with the right counts
+    lin = {(r.partition, r.rows_out, r.snapshot_id) for r in t.lineage(spark).collect()}
+    assert lin == {("p=0", 100, 1), ("p=1", 50, 2)}
+
+
+def _run_pipeline(images_path, out_dir, extra):
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "tile_pipeline.py"),
+           "--input", images_path, "--output", out_dir,
+           "--zmax", "5", "--level", "6", "--cores", "4"] + extra
+    return subprocess.run(cmd, capture_output=True, text=True,
+                          cwd=REPO, timeout=600)
+
+
+def _table_state(spark, out_dir):
+    t = IceTable(out_dir)
+    state = {}
+    for part in sorted(t.committed_partitions()):
+        rows = t.read_partition(spark, part).collect()
+        state[part] = sorted(tuple(r) for r in rows)
+    return state
+
+
+def test_pipeline_end_to_end_and_kill_resume(spark, images_path, tmp_path):
+    golden_dir = str(tmp_path / "golden")
+    r = _run_pipeline(images_path, golden_dir, [])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    golden = _table_state(spark, golden_dir)
+    assert set(golden) == {"join_pairs"} | {f"z={z}" for z in range(6)}
+    # count conservation up the pyramid
+    n = 400
+    for z in range(6):
+        assert sum(row[3] for row in golden[f"z={z}"]) == n
+
+    # killed run: fault-inject an os._exit(42) right after the z=4 commit
+    resumed_dir = str(tmp_path / "resumed")
+    r1 = _run_pipeline(images_path, resumed_dir, ["--fail-after", "z=4"])
+    assert r1.returncode == 42
+    t = IceTable(resumed_dir)
+    committed_mid = t.committed_partitions()
+    assert "z=4" in committed_mid and "z=3" not in committed_mid
+
+    # resume: completes only the remaining partitions
+    r2 = _run_pipeline(images_path, resumed_dir, ["--resume"])
+    assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
+    assert _table_state(spark, resumed_dir) == golden  # byte-identical rows
+    # the resumed run did NOT rewrite already-committed partitions
+    lin = IceTable(resumed_dir).lineage(spark).groupBy("partition").count().collect()
+    assert all(row["count"] == 1 for row in lin)
+
+
+def test_refuses_accidental_overwrite(images_path, tmp_path):
+    out = str(tmp_path / "t2")
+    assert _run_pipeline(images_path, out, []).returncode == 0
+    r = _run_pipeline(images_path, out, [])
+    assert r.returncode != 0  # must demand --resume
