@@ -255,6 +255,148 @@ FROM events
 """
 
 
+def q_range_join(spark, sf_dir):
+    """R9: non-equi interval join — events.value into inline buckets."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(i, float(i * 25), float((i + 1) * 25)) for i in range(8)],
+        "bucket_id INT, lo DOUBLE, hi DOUBLE")
+    return (e.join(F.broadcast(buckets),
+                   (e.value >= buckets.lo) & (e.value < buckets.hi))
+            .groupBy(F.col("bucket_id").cast("long").alias("bucket_id"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+_SQL_RANGE_JOIN = """
+WITH buckets AS (
+  SELECT i AS bucket_id, i * 25.0 AS lo, (i + 1) * 25.0 AS hi
+  FROM (SELECT unnest(range(8)) AS i))
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id, count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY 1
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """R10: as-of — for each purchase, the latest click ts (same user) at
+    or before it."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_click = F.max(F.when(F.col("event_type") == "click",
+                              F.unix_micros(F.col("ts").cast("timestamp")))).over(w)
+    return (e.withColumn("last_click_us", last_click)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "last_click_us"))
+
+
+_SQL_ASOF = """
+SELECT event_id, user_id, last_click_us FROM (
+  SELECT event_id, user_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+  FROM events)
+WHERE event_type = 'purchase'
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (o.withColumn("yr", F.year("o_orderdate").cast("long"))
+            .cube("yr", "o_orderstatus")
+            .agg(F.count("*").alias("n")))
+
+
+_SQL_CUBE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus, count(*) AS n
+FROM orders GROUP BY CUBE (yr, o_orderstatus)
+"""
+
+
+def q_sample_deterministic(spark, sf_dir):
+    """R24: sampling that is reproducible across engines — hash-prefix
+    Bernoulli (md5 < '28' ≈ 15.6%), aggregated so the sample itself is
+    checked."""
+    o = load_table(spark, sf_dir, "orders")
+    picked = o.filter(F.md5(F.concat(F.lit("s"), F.col("o_orderkey").cast("string")))
+                      < "28")
+    return picked.agg(F.count("*").alias("n_sampled"),
+                      F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+
+
+_SQL_SAMPLE = """
+SELECT count(*) AS n_sampled,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+FROM orders WHERE md5('s' || CAST(o_orderkey AS VARCHAR)) < '28'
+"""
+
+
+def q_destination_point(spark, sf_dir):
+    """G14: spherical forward problem in pure Column trig."""
+    from .kernels.geodesy import EARTH_RADIUS_M
+    pts = customer_points(spark, sf_dir)
+    br = F.radians((F.col("point_id") % 360).cast("double"))
+    d = F.lit(100000.0 / EARTH_RADIUS_M)
+    la1, lo1 = F.radians("lat"), F.radians("lon")
+    la2 = F.asin(F.sin(la1) * F.cos(d) + F.cos(la1) * F.sin(d) * F.cos(br))
+    lo2 = lo1 + F.atan2(F.sin(br) * F.sin(d) * F.cos(la1),
+                        F.cos(d) - F.sin(la1) * F.sin(la2))
+    return pts.select(
+        "point_id",
+        F.round(F.degrees(la2), 6).alias("dest_lat"),
+        F.round(F.pmod(F.degrees(lo2) + 180.0, F.lit(360.0)) - 180.0, 6).alias("dest_lon"))
+
+
+def _sql_destination() -> str:
+    from .kernels.geodesy import EARTH_RADIUS_M
+    d = 100000.0 / EARTH_RADIUS_M
+    return f"""
+WITH pts AS ({_CUST_PTS_SQL}),
+t AS (SELECT point_id, radians(lat) AS la1, radians(lon) AS lo1,
+             radians(CAST(point_id % 360 AS DOUBLE)) AS br FROM pts),
+u AS (SELECT point_id, lo1, br,
+             asin(sin(la1)*cos({d!r}) + cos(la1)*sin({d!r})*cos(br)) AS la2,
+             la1 FROM t)
+SELECT point_id, round(degrees(la2), 6) AS dest_lat,
+       round(mod(mod(degrees(lo1 + atan2(sin(br)*sin({d!r})*cos(la1),
+                     cos({d!r}) - sin(la1)*sin(la2))) + 180.0, 360.0) + 360.0,
+                 360.0) - 180.0, 6) AS dest_lon
+FROM u
+"""
+
+
+def q_normalize_latlon(spark, sf_dir):
+    """G13: lat clamp + lon wrap of deliberately out-of-range coords."""
+    c = load_table(spark, sf_dir, "customer")
+    raw_lat = (F.col("c_custkey") * 37 % 400).cast("double") - 200.0
+    raw_lon = (F.col("c_custkey") * 57 % 720).cast("double") - 360.0
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        geo.normalize_lat(raw_lat).alias("lat_n"),
+        geo.normalize_lon(raw_lon).alias("lon_n"))
+
+
+_SQL_NORMALIZE = """
+SELECT c_custkey AS point_id,
+       least(greatest(CAST(c_custkey * 37 % 400 AS DOUBLE) - 200.0, -90.0), 90.0) AS lat_n,
+       mod(mod(CAST(c_custkey * 57 % 720 AS DOUBLE) - 360.0 + 180.0, 360.0) + 360.0,
+           360.0) - 180.0 AS lon_n
+FROM customer
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """R12 approximate path: HLL++ — rows-only (estimator differs from
+    DuckDB's), sanity-bounded in pytest."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users")))
+
+
 # ---------------------------------------------------------------------------
 # streaming batch-equivalents (S3/S4 semantics on the static events table)
 # ---------------------------------------------------------------------------
@@ -537,6 +679,13 @@ QUERIES = {
     "running_sum": q_running_sum,
     "window_tumbling": q_window_tumbling,
     "sessionize": q_sessionize,
+    "range_join": q_range_join,
+    "asof_join": q_asof_join,
+    "cube_orders": q_cube_orders,
+    "sample_deterministic": q_sample_deterministic,
+    "destination_point": q_destination_point,
+    "normalize_latlon": q_normalize_latlon,
+    "approx_distinct": q_approx_distinct,
     "spatial_join_pip": q_spatial_join_pip,
     "knn": q_knn,
     "haversine_pairs": q_haversine_pairs,
@@ -566,6 +715,12 @@ ORACLES = {
     "running_sum": _SQL_RUNNING,
     "window_tumbling": _SQL_TUMBLING,
     "sessionize": _SQL_SESSIONIZE,
+    "range_join": _SQL_RANGE_JOIN,
+    "asof_join": _SQL_ASOF,
+    "cube_orders": _SQL_CUBE,
+    "sample_deterministic": _SQL_SAMPLE,
+    "destination_point": _sql_destination(),
+    "normalize_latlon": _SQL_NORMALIZE,
     "spatial_join_pip": _sql_spatial_join(),
     "knn": _SQL_KNN,
     "haversine_pairs": _SQL_HAVERSINE,

@@ -85,6 +85,40 @@ def psnr_vs_udf(bytes_a: Column, fmt_a: Column, bytes_b: Column, fmt_b: Column,
     return _p(bytes_a, fmt_a, bytes_b, fmt_b, w, h)
 
 
+VERIFY_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("min_psnr", DoubleType()),
+    StructField("n_psnr_bad", LongType()),
+    StructField("n_phash_bad", LongType()),
+    StructField("n_caption_bad", LongType()),
+])
+
+
+def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg") -> DataFrame:
+    """Single-pass payload invariant check (BASELINE.json:15): decode →
+    lossy round-trip PSNR≥40dB, stored-vs-recomputed phash, caption
+    pass-through — one mapInPandas stage, one decode per image, NO payload
+    shuffle and no chained UDF nodes (each extra ArrowEval node costs a
+    python round-trip per batch). Emits one partial row per batch; callers
+    sum them."""
+    def _f(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            min_psnr, psnr_bad, phash_bad, cap_bad = float("inf"), 0, 0, 0
+            for r in pdf.itertuples(index=False):
+                img = C.decode(r.bytes, r.fmt, int(r.w), int(r.h))
+                rt = C.decode(C.encode(img, lossy_fmt), lossy_fmt, int(r.w), int(r.h))
+                p = C.psnr(img, rt)
+                min_psnr = min(min_psnr, p)
+                psnr_bad += p < 40.0
+                phash_bad += C.phash64(img) != r.phash
+                cap_bad += not isinstance(r.caption, str)
+            yield pd.DataFrame([(n, min_psnr, psnr_bad, phash_bad, cap_bad)],
+                               columns=[f.name for f in VERIFY_SCHEMA.fields])
+    return df.select("bytes", "fmt", "w", "h", "phash", "caption") \
+        .mapInPandas(_f, VERIFY_SCHEMA)
+
+
 def hamming_udf(a: Column, b: Column) -> Column:
     @F.pandas_udf(LongType())
     def _h(x: pd.Series, y: pd.Series) -> pd.Series:

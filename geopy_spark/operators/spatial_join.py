@@ -78,6 +78,12 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     side finds cells above ``hot_min_count`` (default: 20x the mean cell
     occupancy), only those get salted by ``salt_factor``.
     """
+    # a handful of polygons spread over createDataFrame's default N
+    # partitions pays N python-worker warmups for rows that fit in one
+    # Arrow batch — compact the vector side before its cover UDF
+    n_parts = max(1, regions.rdd.getNumPartitions())
+    if n_parts > 8:
+        regions = regions.coalesce(8)
     cov = (regions
            .withColumn("cell", F.explode(polygon_cover_udf(F.col("ring"), level)))
            .select("cell", "poly_id", "ring", "lat_min", "lat_max", "lon_min", "lon_max"))

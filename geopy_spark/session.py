@@ -19,6 +19,17 @@ def get_spark(app: str = "geopy_spark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores * 2, 32)
+    # one BLAS thread per python worker: N workers x unbounded OpenBLAS
+    # pools thrash the box (measured 6-12x slowdown on 32-slot UDF stages);
+    # task-level parallelism comes from Spark, not from nested BLAS
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+              "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(v, "1")
+    # make the engine importable by python workers (warm_daemon below)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -26,10 +37,28 @@ def get_spark(app: str = "geopy_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # warm-import daemon: workers fork with pandas/numpy/pyarrow (and
+        # the engine kernels) already loaded — see warm_daemon.py
+        .config("spark.python.daemon.module", "geopy_spark.warm_daemon")
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # input-split sizing: small enough that multi-file bench inputs fan
+        # out across cores, big enough that each task amortizes the Arrow
+        # python round-trip (measured: 8MB splits -> 235 tasks x ~1k rows
+        # burned ~70 core-s of pipe overhead on a 300k-row stage)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)))
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+        # image payloads make Arrow batches heavy (rows x multi-KB bytes);
+        # 2048 rows keeps per-task transfer ~tens of MB so slots x batches
+        # fit comfortably in memory at high parallelism
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — heap must scale with
+        # task slots or GC thrash anti-scales UDF stages (measured 3-8x at
+        # 16 slots on an 8g heap with binary payloads)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores)}g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

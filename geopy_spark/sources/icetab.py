@@ -144,6 +144,45 @@ class IceTable:
                    "wall_ms": wall_ms, "n_files": len(deltas)}
         return {"deltas": deltas, "lineage": lineage}
 
+    def write_partitioned(self, df: DataFrame, part_col: str) -> list[dict]:
+        """Write MANY partitions in one Spark job (df partitioned by
+        ``part_col`` dir layout); returns one write_partition-style pending
+        dict per partition value. One shuffle-free write replaces N
+        sequential per-partition jobs — the manifest still records files
+        per partition, so readers/resume keep partition granularity."""
+        from pyspark.sql import functions as F
+        t0 = time.monotonic()
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        # duplicate the partition column: partitionBy moves it into the dir
+        # name, but icetab readers resolve plain files — data keeps the col
+        df.withColumn("__part", F.col(part_col)) \
+            .write.mode("overwrite").partitionBy("__part").parquet(staging)
+        pendings = []
+        for d0 in sorted(os.listdir(staging)):
+            src = os.path.join(staging, d0)
+            if not os.path.isdir(src) or not d0.startswith("__part="):
+                continue
+            d = f"{part_col}=" + d0.split("=", 1)[1]
+            part_dir = os.path.join(self.data_dir, d)
+            os.makedirs(part_dir, exist_ok=True)
+            deltas, rows_out = [], 0
+            for fn in sorted(os.listdir(src)):
+                if not fn.endswith(".parquet"):
+                    continue
+                dst = os.path.join(part_dir, f"{uuid.uuid4().hex}.parquet")
+                shutil.move(os.path.join(src, fn), dst)
+                nrows = pq.read_metadata(dst).num_rows
+                rows_out += nrows
+                deltas.append({"partition": d,
+                               "file": os.path.relpath(dst, self.path),
+                               "rows": int(nrows)})
+            pendings.append({"deltas": deltas,
+                             "lineage": {"partition": d, "rows_out": int(rows_out),
+                                         "wall_ms": int((time.monotonic() - t0) * 1000),
+                                         "n_files": len(deltas)}})
+        shutil.rmtree(staging, ignore_errors=True)
+        return pendings
+
     def commit(self, pending: list[dict], run_id: str) -> int:
         """Atomically publish a batch of write_partition results as one new
         snapshot. Kill-safe: tmp-write + fsync + rename; the version hint

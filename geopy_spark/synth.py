@@ -192,6 +192,29 @@ def write_images_parquet(path: str, n: int, chunk: int = 20_000,
             wr.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))
 
 
+def write_images_parquet_spark(spark, path: str, n: int, *,
+                               partitions: int = 64, with_pixels: bool = True) -> None:
+    """Distributed deterministic image-table generation: the id range fans
+    out over ``partitions`` tasks, each producing the same rows
+    make_images_pdf would (chunk-deterministic), written as multi-file
+    parquet so downstream scans parallelize."""
+    import pandas as _pd
+
+    def _gen(it):
+        for pdf in it:
+            for s, e in zip(pdf["start"], pdf["end"]):
+                yield make_images_pdf(int(e - s), start=int(s),
+                                      with_pixels=with_pixels)
+
+    bounds = [(i * n // partitions, (i + 1) * n // partitions)
+              for i in range(partitions)]
+    src = spark.createDataFrame(_pd.DataFrame(bounds, columns=["start", "end"])) \
+        .repartition(partitions)
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long, lat double, lon double")
+    src.mapInPandas(_gen, schema).write.mode("overwrite").parquet(path)
+
+
 def make_knn_queries_pdf(n: int, seed: int = 77) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     lat = np.empty(n)

@@ -49,12 +49,15 @@ def build_args(argv=None):
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--decode", action="store_true",
                     help="decode payloads for per-tile mean-pixel stat")
+    ap.add_argument("--verify", action="store_true",
+                    help="payload invariant stage: transcode->PSNR>=40dB + "
+                         "stored-vs-recomputed phash (BASELINE.json:15)")
     ap.add_argument("--fail-after", default=None,
                     help="fault injection: kill after committing this partition")
     return ap.parse_args(argv)
 
 
-def run(args, spark=None) -> dict:
+def run(args, spark=None, stop_session: bool = True) -> dict:
     own_spark = spark is None
     if own_spark:
         spark = get_spark("tile_pipeline", cores=args.cores,
@@ -69,7 +72,8 @@ def run(args, spark=None) -> dict:
     # a resume with different job parameters would silently mix outputs —
     # record the parameter fingerprint in table properties and refuse drift
     params = {"level": args.level, "zmax": args.zmax, "n_polys": args.n_polys,
-              "decode": args.decode, "input": os.path.abspath(args.input)}
+              "decode": args.decode, "input": os.path.abspath(args.input),
+              "layout": 2}
     prev = table.properties()
     if args.resume and prev and prev.get("params") != params:
         raise SystemExit(f"--resume parameter mismatch: table was written with "
@@ -79,7 +83,24 @@ def run(args, spark=None) -> dict:
     images = spark.read.parquet(args.input)
     n_images = images.count()
 
-    planned = ["join_pairs"] + [f"z={z}" for z in range(args.zmax, -1, -1)]
+    planned = (["join_pairs"] + (["verify"] if args.verify else [])
+               + [f"z={z}" for z in range(args.zmax, -1, -1)])
+
+    # ---- stage 0 (optional): per-payload invariant verification (I1-I5) —
+    # single narrow mapInPandas pass, no payload shuffle
+    if args.verify and "verify" not in committed:
+        from geopy_spark.operators.images import verify_payload_invariants
+        chk = (verify_payload_invariants(images)
+               .agg(F.sum("n").alias("n"),
+                    F.min("min_psnr").alias("min_psnr"),
+                    F.sum("n_psnr_bad").alias("n_psnr_bad"),
+                    F.sum("n_phash_bad").alias("n_phash_bad"),
+                    F.sum("n_caption_bad").alias("n_caption_bad")))
+        table.commit([table.write_partition(chk, "verify")], run_id)
+        bad = table.read_partition(spark, "verify").first()
+        if bad.n_psnr_bad or bad.n_phash_bad or bad.n_caption_bad:
+            raise SystemExit(f"payload invariant violated: {bad}")
+        _maybe_fail(args, "verify")
 
     # ---- stage 1: spatial join (G6) — its own snapshot
     if "join_pairs" not in committed:
@@ -105,28 +126,21 @@ def run(args, spark=None) -> dict:
         leaf = leaf.withColumn("mean_val", F.lit(None).cast("double"))
 
     if leaf_part not in committed:
-        out = leaf.sortWithinPartitions("x", "y")
+        out = leaf.coalesce(max(1, args.cores // 2)).sortWithinPartitions("x", "y")
         table.commit([table.write_partition(out, leaf_part)], run_id)
         _maybe_fail(args, leaf_part)
 
-    # ---- stage 3: pyramid levels (G9), one snapshot per level, parent read
-    # from the COMMITTED child partition (so resume is consistent)
-    for z in range(args.zmax - 1, -1, -1):
-        part = f"z={z}"
-        if part in committed:
-            continue
-        child = table.read_partition(spark, f"z={z + 1}")
-        parent = (child.select(
-            F.lit(z).alias("z"),
-            F.floor(F.col("x") / 2).alias("x"),
-            F.floor(F.col("y") / 2).alias("y"),
-            "cnt", (F.col("mean_val") * F.col("cnt")).alias("wsum"))
-            .groupBy("z", "x", "y")
-            .agg(F.sum("cnt").alias("cnt"),
-                 (F.sum("wsum") / F.sum("cnt")).alias("mean_val"))
-            .sortWithinPartitions("x", "y"))
-        table.commit([table.write_partition(parent, part)], run_id)
-        _maybe_fail(args, part)
+    # ---- stage 3: pyramid levels z_max-1..0 (G9) — computed from the
+    # COMMITTED leaf partition and written partitioned-by-z in ONE job +
+    # ONE atomic snapshot (per-z lineage rows preserved). N sequential
+    # per-level jobs measured ~1s fixed cost each — pure anti-scale.
+    if any(f"z={z}" not in committed for z in range(args.zmax)):
+        from geopy_spark.operators.tiling import tile_pyramid
+        leaf_committed = table.read_partition(spark, leaf_part)
+        pyr = tile_pyramid(leaf_committed, z_max=args.zmax, z_min=0, has_mean=True)
+        pyr = pyr.filter(F.col("z") < args.zmax)  # leaf already committed
+        table.commit(table.write_partitioned(pyr, "z"), run_id)
+        _maybe_fail(args, "pyramid")
 
     wall = time.monotonic() - t0
     result = {
@@ -138,7 +152,7 @@ def run(args, spark=None) -> dict:
         "partitions": len(table.committed_partitions()),
         "planned": len(planned),
     }
-    if own_spark:
+    if own_spark and stop_session:
         spark.stop()
     return result
 
@@ -150,4 +164,8 @@ def _maybe_fail(args, partition: str) -> None:
 
 
 if __name__ == "__main__":
-    print(json.dumps(run(build_args())))
+    print(json.dumps(run(build_args(), stop_session=False)), flush=True)
+    # skip JVM/python-daemon teardown: spark.stop() was observed to hang
+    # for tens of minutes in local mode after heavy Arrow-UDF stages; all
+    # table state is already durably committed (rename-as-commit)
+    os._exit(0)

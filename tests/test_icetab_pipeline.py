@@ -70,13 +70,13 @@ def test_pipeline_end_to_end_and_kill_resume(spark, images_path, tmp_path):
     for z in range(6):
         assert sum(row[3] for row in golden[f"z={z}"]) == n
 
-    # killed run: fault-inject an os._exit(42) right after the z=4 commit
+    # killed run: fault-inject an os._exit(42) right after the leaf commit
     resumed_dir = str(tmp_path / "resumed")
-    r1 = _run_pipeline(images_path, resumed_dir, ["--fail-after", "z=4"])
+    r1 = _run_pipeline(images_path, resumed_dir, ["--fail-after", "z=5"])
     assert r1.returncode == 42
     t = IceTable(resumed_dir)
     committed_mid = t.committed_partitions()
-    assert "z=4" in committed_mid and "z=3" not in committed_mid
+    assert "z=5" in committed_mid and "z=4" not in committed_mid
 
     # resume: completes only the remaining partitions
     r2 = _run_pipeline(images_path, resumed_dir, ["--resume"])
