@@ -388,6 +388,72 @@ FROM customer
 """
 
 
+def q_global_topk(spark, sf_dir):
+    """R16: global order + limit with deterministic tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("price"),
+                    F.col("rk").cast("long").alias("rk")))
+
+
+_SQL_GLOBAL_TOPK = """
+SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS price,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS BIGINT) AS rk
+FROM orders QUALIFY rk <= 20
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """R13: GROUPING SETS through the SQL entry point (EP-2)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+    """)
+
+
+_SQL_GROUPING_SETS = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       count(*) AS n,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+"""
+
+
+def q_scalar_medley(spark, sf_dir):
+    """R19/R21: string + math scalar functions in one projection."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.substring("p_name", 1, 8)).alias("name8"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.round(F.sqrt(F.abs(F.col("p_retailprice"))), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("p_retailprice") + 1.0), 4).alias("ln_price"),
+        F.round(F.pow(F.col("p_size").cast("double"), 1.5), 4).alias("size_pow"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"))
+
+
+_SQL_SCALAR_MEDLEY = """
+SELECT p_partkey,
+       lower(substring(p_name, 1, 8)) AS name8,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       round(sqrt(abs(p_retailprice)), 4) AS sqrt_price,
+       round(ln(p_retailprice + 1.0), 4) AS ln_price,
+       round(pow(CAST(p_size AS DOUBLE), 1.5), 4) AS size_pow,
+       CAST(p_size % 7 AS BIGINT) AS size_mod
+FROM part
+"""
+
+
 def q_approx_distinct(spark, sf_dir):
     """R12 approximate path: HLL++ — rows-only (estimator differs from
     DuckDB's), sanity-bounded in pytest."""
@@ -685,6 +751,9 @@ QUERIES = {
     "sample_deterministic": q_sample_deterministic,
     "destination_point": q_destination_point,
     "normalize_latlon": q_normalize_latlon,
+    "global_topk": q_global_topk,
+    "grouping_sets": q_grouping_sets,
+    "scalar_medley": q_scalar_medley,
     "approx_distinct": q_approx_distinct,
     "spatial_join_pip": q_spatial_join_pip,
     "knn": q_knn,
@@ -721,6 +790,9 @@ ORACLES = {
     "sample_deterministic": _SQL_SAMPLE,
     "destination_point": _sql_destination(),
     "normalize_latlon": _SQL_NORMALIZE,
+    "global_topk": _SQL_GLOBAL_TOPK,
+    "grouping_sets": _SQL_GROUPING_SETS,
+    "scalar_medley": _SQL_SCALAR_MEDLEY,
     "spatial_join_pip": _sql_spatial_join(),
     "knn": _SQL_KNN,
     "haversine_pairs": _SQL_HAVERSINE,
