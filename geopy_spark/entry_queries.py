@@ -705,6 +705,11 @@ FROM s QUALIFY rank <= 10
 # rows-only queries (no SQL oracle — non-SQL-expressible; pytest covers
 # their semantics against brute force / property checks)
 
+def q_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, block_col="source", threshold=0.25)
+
+
 def q_minhash_neardup(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=0.3)
@@ -764,6 +769,7 @@ QUERIES = {
     "text_features": q_text_features,
     "exact_dedup": q_exact_dedup,
     "embedding_topk": q_embedding_topk,
+    "ngram_jaccard": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,

@@ -137,6 +137,34 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     return verified
 
 
+def ngram_jaccard_pairs(docs: DataFrame, *, block_col: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard WITHIN a blocking key (task brief):
+    groups small enough to enumerate (same source/domain/shard) get the
+    exact quadratic comparison via applyInPandas — no LSH approximation.
+    At 100 TB the blocking key is what keeps each group bounded; the
+    shuffle is one hash partition by block."""
+    out_schema = "a long, b long, jaccard double"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        hs = _token_hashes(pdf[text_col], ngram)
+        ids = pdf[id_col].to_numpy()
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = np.intersect1d(hs[i], hs[j], assume_unique=True).size
+                union = hs[i].size + hs[j].size - inter
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    rows.append((a, b, round(jac, 4)))
+        return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+    return (docs.select(id_col, text_col, block_col)
+            .groupBy(block_col).applyInPandas(per_block, out_schema))
+
+
 def simhash_udf(text: Column, ngram: int = 2) -> Column:
     """64-bit SimHash over word-ngram shingle hashes (numpy popcount-free
     bit voting)."""

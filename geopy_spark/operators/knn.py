@@ -65,17 +65,21 @@ def _candidates(queries: DataFrame, points: DataFrame, ri_col, rj_col,
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
              level: int = DEFAULT_LEVEL, point_id: str = "id",
-             r0: int = 1, max_r: int | None = None) -> DataFrame:
+             r0: int = 1, max_r: int | None = None,
+             points_have_cell: bool = False) -> DataFrame:
     """queries(query_id, lat, lon) × points(id, lat, lon) → exactly the k
-    nearest points per query: (query_id, neighbor_id, rank)."""
+    nearest points per query: (query_id, neighbor_id, rank).
+
+    points_have_cell=True skips re-encoding when the point side already
+    carries a `cell` column at ``level`` (sorted-cell store path)."""
     n = 2 ** level
     if max_r is None:
         max_r = n  # full-grid fallback guarantees termination
     cell_deg = K.cell_size_deg(level)
     m_per_deg = meters_per_deg_lat()
 
-    pts = _with_cell(points, level).select(F.col(point_id).alias("nid"),
-                                           "lat", "lon", "cell")
+    pts = points if points_have_cell else _with_cell(points, level)
+    pts = pts.select(F.col(point_id).alias("nid"), "lat", "lon", "cell")
     pts = pts.persist()
     pts.count()  # materialize once; both phases re-join this cached side
     qry = _with_cell(queries, level).select("query_id", "lat", "lon", "cell").persist()
@@ -143,3 +147,24 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     for df in (pts, qry):
         df.unpersist()
     return out
+
+
+def knn_join_indexed(spark, store_path: str, queries: DataFrame, k: int, *,
+                     level: int, coarse_level: int,
+                     point_id: str = "id", r0: int = 1) -> DataFrame:
+    """Exact kNN against a sorted-cell point store (sources/store.py).
+
+    Same two-phase algorithm as knn_join, but the point side is the
+    persisted store: reads prune by coarse partition + fine-cell pushdown,
+    so each phase touches only the cells in the queries' disks — the
+    narrow-read path a 100 TB deployment uses (the full-scan knn_join is
+    the in-memory/bench variant). The fine `cell` column is stored, so no
+    re-encode happens at read time."""
+    pts = spark.read.parquet(store_path).select(
+        F.col(point_id).alias(point_id), "lat", "lon", "cell", "pcell")
+    # correctness note: read_cells-style pruning happens naturally here —
+    # the broadcast disk join's `cell` equi-condition pushes into the scan
+    # (dynamic filter); at minimum the parquet row-group stats on the
+    # sorted cell column skip non-matching groups.
+    return knn_join(queries, pts.drop("pcell"), k, level=level,
+                    point_id=point_id, r0=r0, points_have_cell=True)
