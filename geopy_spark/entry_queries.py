@@ -128,8 +128,10 @@ GROUP BY o_orderpriority
 
 
 def q_customers_no_orders(spark, sf_dir):
+    """R8 anti join — customers with no orders SINCE 2000 (the unfiltered
+    variant matched zero rows at sf0.01: every customer has some order)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") >= 2000)
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .groupBy("c_nationkey")
             .agg(F.count("*").alias("n_inactive"))
@@ -138,7 +140,8 @@ def q_customers_no_orders(spark, sf_dir):
 
 _SQL_NO_ORDERS = """
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_inactive
-FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND year(o_orderdate) >= 2000)
 GROUP BY c_nationkey
 """
 
@@ -385,6 +388,43 @@ SELECT c_custkey AS point_id,
        mod(mod(CAST(c_custkey * 57 % 720 AS DOUBLE) - 360.0 + 180.0, 360.0) + 360.0,
            360.0) - 180.0 AS lon_n
 FROM customer
+"""
+
+
+def q_outer_join(spark, sf_dir):
+    """R5 family: LEFT OUTER with null-handling aggregation."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (n.join(c, n.n_nationkey == c.c_nationkey, "left")
+            .groupBy("n_name")
+            .agg(F.count("c_custkey").alias("n_rich"),
+                 F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("rich_bal")))
+
+
+_SQL_OUTER_JOIN = """
+SELECT n_name, count(c_custkey) AS n_rich,
+       round(coalesce(CAST(sum(c_acctbal) AS DOUBLE), 0.0), 2) AS rich_bal
+FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+  ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def q_dedup_events(spark, sf_dir):
+    """S5 batch equivalent: exactly-once by event_id over a stream with
+    replayed (duplicated) rows."""
+    e = load_table(spark, sf_dir, "events")
+    replayed = e.unionByName(e.filter(F.col("event_id") % 3 == 0))
+    return (replayed.dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 3).alias("sum_value")))
+
+
+_SQL_DEDUP_EVENTS = """
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(value) AS DOUBLE), 3) AS sum_value
+FROM events GROUP BY event_type
 """
 
 
@@ -756,6 +796,8 @@ QUERIES = {
     "sample_deterministic": q_sample_deterministic,
     "destination_point": q_destination_point,
     "normalize_latlon": q_normalize_latlon,
+    "outer_join": q_outer_join,
+    "dedup_events": q_dedup_events,
     "global_topk": q_global_topk,
     "grouping_sets": q_grouping_sets,
     "scalar_medley": q_scalar_medley,
@@ -796,6 +838,8 @@ ORACLES = {
     "sample_deterministic": _SQL_SAMPLE,
     "destination_point": _sql_destination(),
     "normalize_latlon": _SQL_NORMALIZE,
+    "outer_join": _SQL_OUTER_JOIN,
+    "dedup_events": _SQL_DEDUP_EVENTS,
     "global_topk": _SQL_GLOBAL_TOPK,
     "grouping_sets": _SQL_GROUPING_SETS,
     "scalar_medley": _SQL_SCALAR_MEDLEY,
