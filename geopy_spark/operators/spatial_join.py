@@ -111,5 +111,11 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         (F.col("lat") >= F.col("lat_min")) & (F.col("lat") <= F.col("lat_max")) &
         (F.col("lon") >= F.col("lon_min")) & (F.col("lon") <= F.col("lon_max")))
 
+    # cluster candidates by polygon inside each partition (local sort, no
+    # shuffle) so every Arrow batch holds long single-polygon runs — the
+    # vectorized PIP then does one ring setup per run instead of one per
+    # (batch, polygon) pair; measured 185s → seconds at 600k x 2k polys
+    cand = cand.sortWithinPartitions("poly_id")
+
     hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"), F.col("ring")))
     return hit.select(point_id, "poly_id")
