@@ -19,6 +19,7 @@ from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
 
 from . import synth
 from .functions import geo, text
+from .kernels import rollhash
 from .operators import dedup, similarity
 from .operators.knn import knn_join
 from .operators.spatial_join import spatial_join
@@ -198,15 +199,32 @@ FROM orders GROUP BY year(o_orderdate)
 
 
 def q_setops_active_years(spark, sf_dir):
+    """R17: intersect (distinct) + exceptAll (multiset) checked SEPARATELY
+    — the 'both' rows come from INTERSECT and the 'only96' rows carry the
+    exceptAll multiplicity, so swapping either operator flips the hash
+    (the round-1 twin was a tautology: (a∩b) ∪ distinct(a∖b) ≡ distinct(a))."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
-    return (a.intersect(b).unionByName(a.exceptAll(b).distinct())
-            .distinct().select(F.col("o_custkey").alias("custkey")))
+    both = (a.intersect(b)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.lit("both").alias("tag"), F.lit(1).cast("long").alias("n")))
+    only96 = (a.exceptAll(b)
+              .groupBy(F.col("o_custkey").alias("custkey"))
+              .agg(F.count("*").alias("n"))
+              .select("custkey", F.lit("only96").alias("tag"), "n"))
+    return both.unionByName(only96)
 
 
 _SQL_SETOPS = """
-SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT o_custkey AS custkey, 'both' AS tag, 1::BIGINT AS n
+FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT o_custkey AS custkey, 'only96' AS tag, count(*) AS n
+FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+GROUP BY o_custkey
 """
 
 
@@ -412,10 +430,19 @@ GROUP BY n_name
 
 def q_dedup_events(spark, sf_dir):
     """S5 batch equivalent: exactly-once by event_id over a stream with
-    replayed (duplicated) rows."""
+    replayed rows. The replayed copies carry value+1000 and replay=1, and
+    dedup keeps the FIRST arrival deterministically (row_number over the
+    replay flag) — so keeping the wrong copy, or both, shifts sum_value
+    and flips the hash (the round-1 twin passed even with dedup removed)."""
     e = load_table(spark, sf_dir, "events")
-    replayed = e.unionByName(e.filter(F.col("event_id") % 3 == 0))
-    return (replayed.dropDuplicates(["event_id"])
+    first = e.withColumn("replay", F.lit(0))
+    again = (e.filter(F.col("event_id") % 3 == 0)
+             .withColumn("value", F.col("value") + 1000.0)
+             .withColumn("replay", F.lit(1)))
+    replayed = first.unionByName(again)
+    w = Window.partitionBy("event_id").orderBy(F.col("replay").asc())
+    return (replayed.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 3).alias("sum_value")))
@@ -495,12 +522,105 @@ FROM part
 
 
 def q_approx_distinct(spark, sf_dir):
-    """R12 approximate path: HLL++ — rows-only (estimator differs from
-    DuckDB's), sanity-bounded in pytest."""
+    """R12 approximate path: HLL++ with rsd=0.02, oracle-gated as a
+    bounded-error check — the estimator differs from DuckDB's, so the
+    checked columns are the exact count plus a boolean asserting the HLL
+    estimate landed within 5% of it (HLL is deterministic for fixed data,
+    so the gate is stable; a drifting estimator flips the hash)."""
     e = load_table(spark, sf_dir, "events")
     return (e.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
-                 F.countDistinct("user_id").alias("exact_users")))
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("approx") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users")).alias("within_5pct")))
+
+
+_SQL_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       true AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+def q_window_sliding(spark, sf_dir):
+    """S3 second half: sliding windows (10 min size, 5 min slide) — every
+    event lands in exactly two overlapping buckets."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 3).alias("sum_value"))
+            .select(F.unix_timestamp("win.start").alias("bucket"),
+                    "event_type", "n", "sum_value"))
+
+
+_SQL_SLIDING = """
+SELECT CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300 - off AS bucket,
+       event_type, count(*) AS n,
+       round(CAST(sum(value) AS DOUBLE), 3) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (300)) t(off)
+GROUP BY 1, 2
+"""
+
+
+def q_events_json_v2(spark, sf_dir):
+    """R23 via the real JSON surface: from_json with an explicit schema
+    (the round-1 events_json used regexp_extract, which breaks on any
+    nested/escaped JSON)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("j", F.from_json("props", "k BIGINT"))
+    return (parsed
+            .withColumn("k2", F.get_json_object("props", "$.k").cast("long"))
+            .groupBy("event_type")
+            .agg(F.round(F.avg(F.col("j.k")), 4).alias("avg_k"),
+                 F.max("j.k").alias("max_k"),
+                 F.sum(F.when(F.col("j.k") == F.col("k2"), 1)
+                       .otherwise(0)).alias("n_consistent")))
+
+
+_SQL_EVENTS_JSON_V2 = """
+SELECT event_type,
+       round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+       count(*) AS n_consistent
+FROM events GROUP BY event_type
+"""
+
+
+def q_weighted_avg_udaf(spark, sf_dir):
+    """R26: pandas GROUPED_AGG UDAF (Series→scalar) — weighted mean of
+    event value, weights derived from user_id (Arrow-batched, one scalar
+    per group; partial aggregation happens Spark-side per group chunk is
+    NOT possible for UDAFs, so keep group count modest — here 5 groups)."""
+    # explicit functionType: the module-level `from __future__ import
+    # annotations` stringifies type hints, which Spark's hint-based
+    # GROUPED_AGG inference cannot parse
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(v, w):
+        return float((v * w).sum() / w.sum())
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg, so the
+    # row count is a pandas UDAF too
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cnt(v):
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("w", (F.col("user_id") % 10 + 1).cast("double"))
+    return (e.groupBy("event_type")
+            .agg(F.round(wavg(F.col("value"), F.col("w")), 4).alias("wavg_value"),
+                 cnt(F.col("value")).alias("n")))
+
+
+_SQL_WAVG = """
+SELECT event_type,
+       round(sum(value * (user_id % 10 + 1)) / sum(user_id % 10 + 1), 4) AS wavg_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -742,17 +862,72 @@ FROM s QUALIFY rank <= 10
 """
 
 
-# rows-only queries (no SQL oracle — non-SQL-expressible; pytest covers
-# their semantics against brute force / property checks)
+# near-dup family — every query oracle-gated. The LSH candidate stages are
+# probabilistic-but-deterministic; thresholds sit far below the planted
+# duplicate clusters' similarity (driver fixture: 25 pairs at Jaccard ≥0.9,
+# nothing in [0.22, 0.9)), where per-pair LSH recall is ≥ 1-4e-8 — so the
+# verified output equals the exact all-pairs answer the DuckDB twin
+# computes. simhash's twin recomputes the full signature+banding pipeline
+# bit-for-bit (kernels/rollhash SQL generators), so no recall assumption
+# is needed there at all.
+
+def _sql_jaccard_pairs(threshold: float, ngram: int, same_key: str | None) -> str:
+    w = rollhash.words_sql("text")
+    sh = rollhash.shingles_sql("words", ngram)
+    key = f", {same_key}" if same_key else ""
+    blk = f" AND a.{same_key} = b.{same_key}" if same_key else ""
+    return f"""
+WITH w AS (SELECT doc_id{key}, {w} AS words FROM documents),
+s AS (SELECT doc_id{key}, {sh} AS sh FROM w),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      FROM s a JOIN s b ON a.doc_id < b.doc_id{blk})
+SELECT a, b, round(jac, 4) AS jaccard FROM p WHERE round(jac, 4) >= {threshold}
+"""
+
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact within-block all-pairs Jaccard, blocked by language (the
+    round-1 source blocking yielded 1 row at sf0.01 — vacuous)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, block_col="source", threshold=0.25)
+    return dedup.ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
+
+
+_SQL_NGRAM_JACCARD = _sql_jaccard_pairs(0.5, 3, "lang")
 
 
 def q_minhash_neardup(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, threshold=0.3)
+    return dedup.minhash_lsh_pairs(d, threshold=0.5)
+
+
+_SQL_MINHASH = _sql_jaccard_pairs(0.5, 3, None)
+
+
+def _sql_simhash(max_hamming: int) -> str:
+    """Full DuckDB recompute of the simhash pipeline: rolling-hash word
+    2-gram shingles → 62-bit bit-voting → 16-bit-chunk banding candidate
+    condition → exact hamming — bit-identical to the Spark operator."""
+    w = rollhash.words_sql("text")
+    sh = rollhash.shingles_sql("words", 2)
+    hh = rollhash.shingle_hash_sql("s")
+    return f"""
+WITH w AS (SELECT doc_id, {w} AS words FROM documents),
+sl AS (SELECT doc_id, {sh} AS sl FROM w),
+shr AS (SELECT doc_id, unnest(sl) AS s FROM sl),
+h AS (SELECT doc_id, {hh} AS hv FROM shr),
+b AS (SELECT doc_id, bit, sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(62)) AS bit) bits GROUP BY 1, 2),
+sim AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sh64
+        FROM b GROUP BY 1),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b, xor(a.sh64, b.sh64) AS x
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+SELECT a, b, bit_count(x)::BIGINT AS hamming FROM p
+WHERE bit_count(x) <= {max_hamming}
+  AND ((x & 65535) = 0 OR ((x >> 16) & 65535) = 0
+       OR ((x >> 32) & 65535) = 0 OR ((x >> 48) & 65535) = 0)
+"""
 
 
 def q_simhash_neardup(spark, sf_dir):
@@ -760,16 +935,114 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_pairs(d, max_hamming=16)
 
 
-def q_embedding_neardup(spark, sf_dir):
+_SQL_SIMHASH = _sql_simhash(16)
+
+
+# -- embedding fixtures: the driver's embeddings table has NO near pairs
+# (max pairwise cosine 0.51 at sf0.01), so near-dup/ANN queries plant
+# perturbed copies DERIVED deterministically from the table itself — the
+# same pure-arithmetic expression evaluates in both engines (no hidden
+# randomness), exactly like the derived lat/lon geometry.
+
+def _augmented_embeddings(spark, sf_dir):
+    """embeddings ∪ perturbed copies of every 25th vector (id+1000000):
+    v'_i = v_i + 0.05*sin(vec_id*131 + i) → cosine ≈ 0.998 vs the source."""
     e = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(e, threshold=0.9)
+    base = e.select("vec_id",
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+    pert = (e.filter(F.col("vec_id") % 25 == 0)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    F.expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+                           " + 0.05 * sin(CAST(vec_id * 131 + i AS DOUBLE)))").alias("v")))
+    return base.unionByName(pert)
+
+
+_SQL_AUG_EMB = """
+SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE)
+                           + 0.05 * sin(CAST(vec_id * 131 + (i - 1) AS DOUBLE))) AS v
+FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    aug = _augmented_embeddings(spark, sf_dir)
+    return dedup.embedding_neardup_pairs(aug, id_col="vec_id", vec_col="v",
+                                         threshold=0.95)
+
+
+_SQL_EMB_NEARDUP = f"""
+WITH aug AS ({_SQL_AUG_EMB})
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+"""
+
+
+def _ann_fixture(spark, sf_dir):
+    """Corpus for ANN: embeddings ∪ 6 planted neighbors per query vector
+    (ids 2000000 + q*10 + t, noise scale ∝ t) — the true top-k of each
+    query is then all high-cosine, the regime an ANN index serves."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id",
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+    parts = [base]
+    for t in range(1, 7):
+        parts.append(
+            e.filter(F.col("vec_id") < 8)
+            .select((F.lit(2000000) + F.col("vec_id") * 10 + t).alias("vec_id"),
+                    F.expr(f"transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+                           f" + 0.03 * {t} * sin(CAST(vec_id * 977 + {t} * 131 + i"
+                           f" AS DOUBLE)))").alias("v")))
+    aug = parts[0]
+    for p in parts[1:]:
+        aug = aug.unionByName(p)
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qv"))
+    return aug, qs
+
+
+_SQL_ANN_CORPUS = """
+SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+FROM embeddings
+""" + "".join(f"""
+UNION ALL
+SELECT 2000000 + vec_id * 10 + {t} AS vec_id,
+       list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE)
+                           + 0.03 * {t} * sin(CAST(vec_id * 977 + {t} * 131 + (i - 1)
+                                                   AS DOUBLE))) AS v
+FROM embeddings WHERE vec_id < 8""" for t in range(1, 7))
 
 
 def q_ann_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
-    qs = (e.filter(F.col("vec_id") < 8)
-          .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return similarity.ann_topk(e, qs, k=5)
+    """Banded-LSH ANN whose candidate set provably covers the planted
+    true top-k (cos ≥ 0.9 ⇒ per-pair band-match prob ≥ 1-3e-10), so the
+    output equals the brute-force oracle."""
+    aug, qs = _ann_fixture(spark, sf_dir)
+    out = similarity.ann_topk(aug, qs, k=5, vec_col="v", qvec_col="qv")
+    return out.select("query_id", "vec_id", "cosine_r",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+_SQL_ANN_TOPK = f"""
+WITH aug AS ({_SQL_ANN_CORPUS}),
+q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.query_id, a.vec_id,
+             list_cosine_similarity(a.v, q.qv) AS cos
+      FROM aug a CROSS JOIN q)
+SELECT query_id, vec_id, round(CAST(cos AS DOUBLE), 4) AS cosine_r,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+            AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -787,8 +1060,11 @@ QUERIES = {
     "setops_active_years": q_setops_active_years,
     "events_daily": q_events_daily,
     "events_json": q_events_json,
+    "events_json_v2": q_events_json_v2,
+    "weighted_avg_udaf": q_weighted_avg_udaf,
     "running_sum": q_running_sum,
     "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
     "sessionize": q_sessionize,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
@@ -829,8 +1105,11 @@ ORACLES = {
     "setops_active_years": _SQL_SETOPS,
     "events_daily": _SQL_EVENTS_DAILY,
     "events_json": _SQL_EVENTS_JSON,
+    "events_json_v2": _SQL_EVENTS_JSON_V2,
+    "weighted_avg_udaf": _SQL_WAVG,
     "running_sum": _SQL_RUNNING,
     "window_tumbling": _SQL_TUMBLING,
+    "window_sliding": _SQL_SLIDING,
     "sessionize": _SQL_SESSIONIZE,
     "range_join": _SQL_RANGE_JOIN,
     "asof_join": _SQL_ASOF,
@@ -843,6 +1122,7 @@ ORACLES = {
     "global_topk": _SQL_GLOBAL_TOPK,
     "grouping_sets": _SQL_GROUPING_SETS,
     "scalar_medley": _SQL_SCALAR_MEDLEY,
+    "approx_distinct": _SQL_APPROX_DISTINCT,
     "spatial_join_pip": _sql_spatial_join(),
     "knn": _SQL_KNN,
     "haversine_pairs": _SQL_HAVERSINE,
@@ -852,4 +1132,9 @@ ORACLES = {
     "text_features": _SQL_TEXT,
     "exact_dedup": _SQL_DEDUP,
     "embedding_topk": _SQL_EMB_TOPK,
+    "ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "minhash_neardup": _SQL_MINHASH,
+    "simhash_neardup": _SQL_SIMHASH,
+    "embedding_neardup": _SQL_EMB_NEARDUP,
+    "ann_topk": _SQL_ANN_TOPK,
 }
