@@ -680,6 +680,11 @@ def q_spatial_join_pip(spark, sf_dir):
 
 
 def _sql_spatial_join() -> str:
+    """Parity-only ray-cast twin. The engine additionally counts points
+    within EPS=1e-9° of an edge/vertex as inside (kernels/pip.py); the two
+    agree BY CONSTRUCTION of the fixture — derived points stay >1e-6° from
+    every polygon edge and vertex latitude, asserted at fixture scales in
+    tests/test_pip.py::test_oracle_fixture_points_clear_of_boundaries."""
     edges = synth.polygons_edges_sql_values(_POLYS)
     return f"""
 WITH pts AS ({_CUST_PTS_SQL}),

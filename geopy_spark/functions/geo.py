@@ -70,7 +70,10 @@ def tile_key(z: int, x: Column, y: Column) -> Column:
 
 
 def tile_x_sql(lon_expr: str, z: int) -> str:
-    return (f"least(greatest(CAST(floor((({lon_expr}) + 180.0) / 360.0 * {float(2**z)}) "
+    # mirror tile_x's normalize_lon wrap so the twins stay semantically
+    # identical even for out-of-range longitudes (ADVICE r1)
+    wrapped = f"(mod(mod(({lon_expr}) + 180.0, 360.0) + 360.0, 360.0) - 180.0)"
+    return (f"least(greatest(CAST(floor(({wrapped} + 180.0) / 360.0 * {float(2**z)}) "
             f"AS BIGINT), 0), {2**z - 1})")
 
 

@@ -31,6 +31,20 @@ _MERSENNE = (1 << 61) - 1
 
 DEFAULT_MAX_BUCKET = 2000  # pairs-per-degenerate-bucket bound: cap²/2
 
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(n: int, key: str = "u8") -> np.ndarray:
+    """Reusable module-level uint64 work buffer (python workers are
+    long-lived with spark.python.worker.reuse, so the first-touch page
+    faults are paid once per worker, not once per Arrow batch — fresh
+    large numpy allocations fault in at ~25 MB/s on this host)."""
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < n:
+        buf = np.empty(max(n, 1 << 16), dtype=np.uint64)
+        _SCRATCH[key] = buf
+    return buf[:n]
+
 
 def _token_hashes(texts: pd.Series, ngram: int = 3) -> list[np.ndarray]:
     """Per doc: sorted unique 62-bit hashes of word n-gram shingles
@@ -58,6 +72,31 @@ def _bucket_guard(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFr
     return banded.join(F.broadcast(big), keys, "left_anti")
 
 
+def _bucket_pairs(banded: DataFrame, keys: list[str],
+                  max_bucket: int | None) -> DataFrame:
+    """banded(id[, payload], *keys) → distinct candidate pairs within each
+    bucket, as struct columns l/r (each carrying id + any payload fields).
+
+    ONE pass over the signatures and ONE shuffle: groupBy the bucket keys,
+    collect the sorted member list, and explode the i<j combinations
+    in-plan (flatten/transform/slice Column algebra — no UDF). A
+    self-join alias would evaluate the signature-UDF subtree once per
+    side; this shape evaluates it once total. The ``max_bucket`` guard is
+    a free size filter on the collected list (report drops with
+    :func:`lsh_bucket_drops` — never silent)."""
+    others = [c for c in banded.columns if c not in keys]
+    g = (banded.groupBy(*keys)
+         .agg(F.array_sort(F.collect_list(F.struct(*others))).alias("ms"))
+         .filter(F.size("ms") >= 2))
+    if max_bucket is not None:
+        g = g.filter(F.size("ms") <= max_bucket)
+    pairs = g.select(F.explode(F.expr(
+        "flatten(transform(ms, (x, i) -> transform("
+        "slice(ms, i + 2, greatest(size(ms) - i - 1, 0)), "
+        "y -> struct(x AS l, y AS r))))")).alias("p"))
+    return pairs.select("p.l", "p.r").distinct()
+
+
 def lsh_bucket_drops(banded: DataFrame, keys: list[str], max_bucket: int) -> dict:
     """Driver-side report of what a ``max_bucket`` guard drops: number of
     oversized buckets, rows inside them, and the largest bucket. One small
@@ -82,22 +121,37 @@ def lsh_bucket_drops(banded: DataFrame, keys: list[str], max_bucket: int) -> dic
 
 
 def minhash_sig_udf(text: Column, num_perm: int = 64, ngram: int = 3) -> Column:
-    """MinHash signature array<long>[num_perm] over word-ngram shingles."""
+    """MinHash signature array<long>[num_perm] over word-ngram shingles.
+
+    The permutation step runs batched per Arrow batch: all documents'
+    shingle hashes concatenate into one flat array and each permutation
+    (a·x+b) mod p evaluates as one vectorized pass over it into a REUSED
+    scratch buffer, with per-document minima via np.minimum.reduceat —
+    no per-document Python in the hot path, and no [num_perm × shingles]
+    intermediate (a fresh 100 MB+ matrix costs seconds of page faults on
+    this host; see _scratch). uint64 wraparound on the product is
+    deterministic and fine for LSH — any fixed pseudo-random map works."""
     a, b = _perm_params(num_perm)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(t: pd.Series) -> pd.Series:
-        sigs = []
-        for hs in _token_hashes(t, ngram):
-            if hs.size == 0:
-                sigs.append([0] * num_perm)
-                continue
-            # (a*x + b) mod p over all perms × shingles, min per perm
-            # (uint64 wraparound on the product is deterministic and fine
-            # for LSH — any fixed pseudo-random map of the hash works)
-            v = (a[:, None] * (hs[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-            sigs.append(v.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(sigs)
+        hashes = _token_hashes(t, ngram)  # every entry has size >= 1
+        if not hashes:
+            return pd.Series([])
+        lens = np.fromiter((h.size for h in hashes), dtype=np.int64,
+                           count=len(hashes))
+        flat = np.concatenate(hashes)
+        starts = np.zeros(len(hashes), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        fm = flat % _MERSENNE
+        tmp = _scratch(fm.size)
+        mins = np.empty((len(hashes), num_perm), dtype=np.int64)
+        for p in range(num_perm):
+            np.multiply(fm, a[p], out=tmp)
+            np.add(tmp, b[p], out=tmp)
+            np.mod(tmp, _MERSENNE, out=tmp)
+            mins[:, p] = np.minimum.reduceat(tmp, starts).astype(np.int64)
+        return pd.Series(mins.tolist())
     return _sig(text)
 
 
@@ -152,24 +206,34 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             for bnd in range(bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    banded = _bucket_guard(banded, ["band", "bucket"], max_bucket)
-
-    pairs = (banded.alias("l")
-             .join(banded.alias("r"),
-                   [F.col("l.band") == F.col("r.band"),
-                    F.col("l.bucket") == F.col("r.bucket"),
-                    F.col("l.id") < F.col("r.id")])
-             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-             .distinct())
+    pairs = (_bucket_pairs(banded, ["band", "bucket"], max_bucket)
+             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b")))
 
     txt = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
-    verified = (pairs
-                .join(txt.withColumnRenamed("id", "a").withColumnRenamed("txt", "ta"), "a")
-                .join(txt.withColumnRenamed("id", "b").withColumnRenamed("txt", "tb"), "b")
-                .withColumn("jaccard", F.round(jaccard_udf(F.col("ta"), F.col("tb"), ngram), 4))
-                .filter(F.col("jaccard") >= threshold)
-                .select("a", "b", "jaccard"))
-    return verified
+    cand = (pairs
+            .join(txt.withColumnRenamed("id", "a").withColumnRenamed("txt", "ta"), "a")
+            .join(txt.withColumnRenamed("id", "b").withColumnRenamed("txt", "tb"), "b"))
+
+    # exact verify: ONE mapInPandas pass computes jaccard AND applies the
+    # threshold python-side — a filter on a pandas-UDF column gets pushed
+    # below the projection and Catalyst then evaluates the UDF twice
+    # (observed as two ArrowEvalPython nodes), so compute-and-filter stay
+    # fused in a single python hop instead
+    def _verify(it):
+        for pdf in it:
+            ha = _token_hashes(pdf["ta"], ngram)
+            hb = _token_hashes(pdf["tb"], ngram)
+            jac = np.empty(len(pdf))
+            for n in range(len(pdf)):
+                inter = np.intersect1d(ha[n], hb[n], assume_unique=True).size
+                union = ha[n].size + hb[n].size - inter
+                jac[n] = inter / union if union else 1.0
+            jac = np.round(jac, 4)
+            keep = jac >= threshold
+            yield pd.DataFrame({"a": pdf["a"][keep], "b": pdf["b"][keep],
+                                "jaccard": jac[keep]})
+
+    return cand.mapInPandas(_verify, "a long, b long, jaccard double")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, block_col: str,
@@ -186,18 +250,39 @@ def ngram_jaccard_pairs(docs: DataFrame, *, block_col: str,
     out_schema = "a long, b long, jaccard double"
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Exact all-pairs via an inverted-index join instead of the n²/2
+        # per-pair loop: sort (shingle, doc) postings, and every sorted run
+        # of docs sharing a shingle contributes its doc pairs to the
+        # intersection counts. Pairs sharing no shingle (jaccard 0) are
+        # never touched, so cost scales with co-occurrence mass, not n².
         hs = _token_hashes(pdf[text_col], ngram)
         ids = pdf[id_col].to_numpy()
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = np.intersect1d(hs[i], hs[j], assume_unique=True).size
-                union = hs[i].size + hs[j].size - inter
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    rows.append((a, b, round(jac, 4)))
-        return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(columns=["a", "b", "jaccard"])
+        sizes = np.fromiter((h.size for h in hs), dtype=np.int64, count=n)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        flat = np.concatenate(hs)
+        order = np.argsort(flat, kind="stable")
+        fv, dv = flat[order], doc_idx[order]
+        run_start = np.flatnonzero(np.r_[True, fv[1:] != fv[:-1]])
+        run_len = np.diff(np.r_[run_start, fv.size])
+        pair_keys = []
+        for s, ln in zip(run_start[run_len > 1], run_len[run_len > 1]):
+            docs_in = np.sort(dv[s:s + ln])
+            ii, jj = np.triu_indices(int(ln), k=1)
+            pair_keys.append(docs_in[ii] * n + docs_in[jj])
+        if not pair_keys:
+            return pd.DataFrame(columns=["a", "b", "jaccard"])
+        keys, inter = np.unique(np.concatenate(pair_keys), return_counts=True)
+        i, j = keys // n, keys % n
+        union = sizes[i] + sizes[j] - inter
+        jac = np.round(np.where(union > 0, inter / np.maximum(union, 1), 1.0), 4)
+        keep = jac >= threshold
+        aa = np.minimum(ids[i[keep]], ids[j[keep]])
+        bb = np.maximum(ids[i[keep]], ids[j[keep]])
+        return pd.DataFrame({"a": aa.astype(np.int64),
+                             "b": bb.astype(np.int64), "jaccard": jac[keep]})
 
     blocked = _bucket_guard(docs.select(id_col, text_col, block_col),
                             [block_col], max_block)
@@ -210,17 +295,29 @@ def simhash_udf(text: Column, ngram: int = 2) -> Column:
     < 2^62 — mirrored by the SQL twin)."""
     @F.pandas_udf(LongType())
     def _sh(t: pd.Series) -> pd.Series:
-        out = np.empty(len(t), dtype=np.int64)
-        bitpos = np.arange(64, dtype=np.uint64)
-        weights = np.uint64(1) << bitpos
-        for n, hs in enumerate(_token_hashes(t, ngram)):
-            if hs.size == 0:
-                out[n] = 0
-                continue
-            bits = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            out[n] = ((votes > 0).astype(np.uint64) * weights).sum().astype(np.int64)
-        return pd.Series(out)
+        hashes = _token_hashes(t, ngram)  # every entry has size >= 1
+        if not hashes:
+            return pd.Series([], dtype=np.int64)
+        # one flat bit matrix per Arrow batch + per-document vote sums via
+        # np.add.reduceat — no per-document Python in the hot path
+        lens = np.fromiter((h.size for h in hashes), dtype=np.int64,
+                           count=len(hashes))
+        flat = np.concatenate(hashes)
+        starts = np.zeros(len(hashes), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # per-bit loop with a reused scratch buffer instead of one
+        # [shingles × 64] bit matrix (fresh 100 MB+ allocations stall on
+        # page faults here — see _scratch); ones-count per segment gives
+        # votes = 2·ones − len without materializing ±1 values
+        tmp = _scratch(flat.size)
+        words = np.zeros(len(hashes), dtype=np.uint64)
+        for bit in range(64):
+            np.right_shift(flat, np.uint64(bit), out=tmp)
+            np.bitwise_and(tmp, np.uint64(1), out=tmp)
+            ones = np.add.reduceat(tmp, starts)
+            votes = 2 * ones.astype(np.int64) - lens
+            words |= (votes > 0).astype(np.uint64) << np.uint64(bit)
+        return pd.Series(words.astype(np.int64))
     return _sh(text)
 
 
@@ -242,14 +339,9 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                  F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
         for c in range(4)
     ])).alias("cc")).select("id", "sh", "cc.chunk", "cc.val")
-    chunks = _bucket_guard(chunks, ["chunk", "val"], max_bucket)
-    cand = (chunks.alias("l").join(
-        chunks.alias("r"),
-        [F.col("l.chunk") == F.col("r.chunk"), F.col("l.val") == F.col("r.val"),
-         F.col("l.id") < F.col("r.id")])
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
-        .distinct())
+    cand = (_bucket_pairs(chunks, ["chunk", "val"], max_bucket)
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb")))
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return (cand.withColumn("hamming", ham.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
@@ -275,15 +367,10 @@ def embedding_neardup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
                         F.posexplode(hyperplane_sigs_udf(
                             F.col(vec_col), bands * planes_per_band, seed,
                             group=planes_per_band)).alias("band", "bkt"))
-    banded = _bucket_guard(banded, ["band", "bkt"], max_bucket)
     # pairs first, vectors re-joined by id after distinct — the band
     # shuffle never carries embedding payloads (same shape as minhash)
-    pairs = (banded.alias("l").join(banded.alias("r"),
-                                    [F.col("l.band") == F.col("r.band"),
-                                     F.col("l.bkt") == F.col("r.bkt"),
-                                     F.col("l.id") < F.col("r.id")])
-             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-             .distinct())
+    pairs = (_bucket_pairs(banded, ["band", "bkt"], max_bucket)
+             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b")))
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cand = (pairs
             .join(vecs.withColumnRenamed("id", "a").withColumnRenamed("v", "va"), "a")

@@ -91,20 +91,46 @@ VERIFY_SCHEMA = StructType([
     StructField("n_psnr_bad", LongType()),
     StructField("n_phash_bad", LongType()),
     StructField("n_caption_bad", LongType()),
+    StructField("n_lossless_bad", LongType()),
 ])
 
 
-def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg") -> DataFrame:
+def caption_digests(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Ingest-time caption fingerprints (I6): (image_id, caption_sha) with
+    sha2-256 over the caption bytes — JVM-side, no UDF. Snapshot this at
+    ingest; verify_payload_invariants compares any later read-back or
+    transcode output against it byte-for-byte."""
+    return df.select(F.col(id_col),
+                     F.sha2(F.col("caption").cast("binary"), 256).alias("caption_sha"))
+
+
+def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg",
+                              lossless_fmt: str = "rle",
+                              digests: DataFrame | None = None) -> DataFrame:
     """Single-pass payload invariant check (BASELINE.json:15): decode →
-    lossy round-trip PSNR≥40dB, stored-vs-recomputed phash, caption
-    pass-through — one mapInPandas stage, one decode per image, NO payload
-    shuffle and no chained UDF nodes (each extra ArrowEval node costs a
-    python round-trip per batch). Emits one partial row per batch; callers
-    sum them."""
+    lossy round-trip PSNR≥40dB, lossless round-trip EXACT pixel equality,
+    stored-vs-recomputed phash, caption byte-equality vs the ingest digest
+    (I6: sha2(caption) must match ``digests`` — a corrupted caption that is
+    still a string now fails, unlike the round-1 isinstance check) — one
+    mapInPandas stage, one decode per image, payloads never shuffle (the
+    digest join moves only 40-byte rows) and no chained UDF nodes. Emits
+    one partial row per batch; callers sum them."""
+    cols = ["bytes", "fmt", "w", "h", "phash", "caption"]
+    if digests is not None:
+        df = df.join(digests, "image_id", "left")
+        cap_ok = (F.col("caption_sha").isNotNull()
+                  & (F.sha2(F.col("caption").cast("binary"), 256)
+                     == F.col("caption_sha")))
+    else:
+        cap_ok = F.col("caption").isNotNull()
+    df = df.withColumn("_cap_ok", cap_ok)
+    cols.append("_cap_ok")
+
     def _f(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n = len(pdf)
-            min_psnr, psnr_bad, phash_bad, cap_bad = float("inf"), 0, 0, 0
+            min_psnr, psnr_bad, phash_bad, ll_bad = float("inf"), 0, 0, 0
+            cap_bad = int((~pdf["_cap_ok"].astype(bool)).sum())
             for r in pdf.itertuples(index=False):
                 img = C.decode(r.bytes, r.fmt, int(r.w), int(r.h))
                 rt = C.decode(C.encode(img, lossy_fmt), lossy_fmt, int(r.w), int(r.h))
@@ -112,11 +138,13 @@ def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg") -> DataFra
                 min_psnr = min(min_psnr, p)
                 psnr_bad += p < 40.0
                 phash_bad += C.phash64(img) != r.phash
-                cap_bad += not isinstance(r.caption, str)
-            yield pd.DataFrame([(n, min_psnr, psnr_bad, phash_bad, cap_bad)],
-                               columns=[f.name for f in VERIFY_SCHEMA.fields])
-    return df.select("bytes", "fmt", "w", "h", "phash", "caption") \
-        .mapInPandas(_f, VERIFY_SCHEMA)
+                ll = C.decode(C.encode(img, lossless_fmt), lossless_fmt,
+                              int(r.w), int(r.h))
+                ll_bad += not np.array_equal(ll, img)
+            yield pd.DataFrame(
+                [(n, min_psnr, psnr_bad, phash_bad, cap_bad, ll_bad)],
+                columns=[f.name for f in VERIFY_SCHEMA.fields])
+    return df.select(*cols).mapInPandas(_f, VERIFY_SCHEMA)
 
 
 def hamming_udf(a: Column, b: Column) -> Column:

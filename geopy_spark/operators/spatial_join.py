@@ -81,9 +81,9 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     # a handful of polygons spread over createDataFrame's default N
     # partitions pays N python-worker warmups for rows that fit in one
     # Arrow batch — compact the vector side before its cover UDF
-    n_parts = max(1, regions.rdd.getNumPartitions())
-    if n_parts > 8:
-        regions = regions.coalesce(8)
+    # (coalesce never increases partition count, so this is a no-op for
+    # already-compact inputs; no df.rdd plan conversion needed)
+    regions = regions.coalesce(8)
     cov = (regions
            .withColumn("cell", F.explode(polygon_cover_udf(F.col("ring"), level)))
            .select("cell", "poly_id", "ring", "lat_min", "lat_max", "lon_min", "lon_max"))
@@ -102,7 +102,12 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             n, ncells = pts.select(
                 F.count("*"), F.approx_count_distinct("cell")).first()
             hot_min_count = max(int(20 * n / max(ncells, 1)), 100)
-        hot = hot_keys(pts, "cell", hot_min_count).persist()
+        # hot is tiny (outlier cells only): materialize it with truncated
+        # lineage, then release the point cache — the final join streams
+        # the point side once anyway, and nothing leaks into the caller's
+        # session (ADVICE r1: pts/hot persists accumulated)
+        hot = hot_keys(pts, "cell", hot_min_count).localCheckpoint(eager=True)
+        pts.unpersist()
         cand = salted_join(
             pts, cov, "cell", hot=hot, factor=salt_factor,
             big_salt_expr=F.pmod(F.hash(F.col(point_id)), F.lit(salt_factor)))

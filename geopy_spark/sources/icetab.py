@@ -217,6 +217,17 @@ class IceTable:
         return self.commit([self.write_partition(df, partition)], run_id)
 
 
+def _fsync_dir(path: str) -> None:
+    """Durably record the rename itself: without a directory fsync the
+    new name can vanish on power loss even though the data blocks made it
+    (kill-safety alone never needed this; crash-safety does)."""
+    fd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _write_text_atomic(path: str, content: str) -> None:
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -224,9 +235,19 @@ def _write_text_atomic(path: str, content: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+    _fsync_dir(path)
 
 
 def _write_parquet_atomic(table: pa.Table, path: str) -> None:
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     pq.write_table(table, tmp)
+    # fsync the file contents before the rename publishes the name — a
+    # crash after rename but before writeback must not leave a truncated
+    # manifest behind the committed name (ADVICE r1)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.rename(tmp, path)
+    _fsync_dir(path)

@@ -83,24 +83,41 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
     images = spark.read.parquet(args.input)
     n_images = images.count()
 
-    planned = (["join_pairs"] + (["verify"] if args.verify else [])
+    planned = (["join_pairs"] + (["digests", "verify"] if args.verify else [])
                + [f"z={z}" for z in range(args.zmax, -1, -1)])
 
-    # ---- stage 0 (optional): per-payload invariant verification (I1-I5) —
-    # single narrow mapInPandas pass, no payload shuffle
-    if args.verify and "verify" not in committed:
-        from geopy_spark.operators.images import verify_payload_invariants
-        chk = (verify_payload_invariants(images)
-               .agg(F.sum("n").alias("n"),
-                    F.min("min_psnr").alias("min_psnr"),
-                    F.sum("n_psnr_bad").alias("n_psnr_bad"),
-                    F.sum("n_phash_bad").alias("n_phash_bad"),
-                    F.sum("n_caption_bad").alias("n_caption_bad")))
-        table.commit([table.write_partition(chk, "verify")], run_id)
-        bad = table.read_partition(spark, "verify").first()
-        if bad.n_psnr_bad or bad.n_phash_bad or bad.n_caption_bad:
-            raise SystemExit(f"payload invariant violated: {bad}")
-        _maybe_fail(args, "verify")
+    # ---- stage 0 (optional): per-payload invariant verification (I1-I6) —
+    # first snapshot the ingest caption digests (40-byte rows), then one
+    # narrow mapInPandas pass checks PSNR / lossless roundtrip / phash and
+    # byte-compares sha2(caption) against the digest snapshot (I6) — a
+    # corrupted caption between ingest and verify now fails the gate
+    if args.verify:
+        from geopy_spark.operators.images import (caption_digests,
+                                                  verify_payload_invariants)
+        if "digests" not in committed:
+            table.commit([table.write_partition(caption_digests(images),
+                                                "digests")], run_id)
+            _maybe_fail(args, "digests")
+        if "verify" not in committed:
+            dig = table.read_partition(spark, "digests")
+            # digests broadcast while they fit (~40B/row); beyond that the
+            # 100 TB deployment buckets both sides by image_id so this join
+            # is co-partitioned and the payload side still never shuffles
+            if n_images <= 5_000_000:
+                dig = F.broadcast(dig)
+            chk = (verify_payload_invariants(images, digests=dig)
+                   .agg(F.sum("n").alias("n"),
+                        F.min("min_psnr").alias("min_psnr"),
+                        F.sum("n_psnr_bad").alias("n_psnr_bad"),
+                        F.sum("n_phash_bad").alias("n_phash_bad"),
+                        F.sum("n_caption_bad").alias("n_caption_bad"),
+                        F.sum("n_lossless_bad").alias("n_lossless_bad")))
+            table.commit([table.write_partition(chk, "verify")], run_id)
+            bad = table.read_partition(spark, "verify").first()
+            if (bad.n_psnr_bad or bad.n_phash_bad or bad.n_caption_bad
+                    or bad.n_lossless_bad):
+                raise SystemExit(f"payload invariant violated: {bad}")
+            _maybe_fail(args, "verify")
 
     # ---- stage 1: spatial join (G6) — its own snapshot
     if "join_pairs" not in committed:

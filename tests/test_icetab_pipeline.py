@@ -92,3 +92,33 @@ def test_refuses_accidental_overwrite(images_path, tmp_path):
     assert _run_pipeline(images_path, out, []).returncode == 0
     r = _run_pipeline(images_path, out, [])
     assert r.returncode != 0  # must demand --resume
+
+
+def test_verify_gate_catches_corrupted_caption(tmp_path):
+    """I6 as a real invariant: snapshot caption digests at ingest, then
+    corrupt ONE caption (still a valid string) before the verify stage —
+    the --verify gate must fail (the round-1 isinstance check passed this)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    img_path = str(tmp_path / "images.parquet")
+    pdf = synth.make_images_pdf(60)
+    pq.write_table(pa.Table.from_pandas(pdf), img_path)
+
+    # happy path: clean input passes the full verify gate
+    ok_dir = str(tmp_path / "ok")
+    r = _run_pipeline(img_path, ok_dir, ["--verify"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    # corruption path: commit digests, kill, swap in a corrupted caption at
+    # the same input path, resume — verify must now refuse
+    bad_dir = str(tmp_path / "bad")
+    r1 = _run_pipeline(img_path, bad_dir, ["--verify", "--fail-after", "digests"])
+    assert r1.returncode == 42
+    pdf2 = pdf.copy()
+    pdf2.loc[7, "caption"] = pdf2.loc[7, "caption"] + " corrupted"
+    pq.write_table(pa.Table.from_pandas(pdf2), img_path)
+    r2 = _run_pipeline(img_path, bad_dir, ["--verify", "--resume"])
+    assert r2.returncode != 0
+    assert "invariant violated" in (r2.stdout + r2.stderr)

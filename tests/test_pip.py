@@ -97,3 +97,41 @@ def test_cover_is_reasonably_tight():
     cov = P.polygon_cover(SQUARE, 8)
     # bbox 10x10deg at level8: cell 0.703x1.406deg → bbox grid ~ 15x8=120
     assert 20 <= len(cov) <= 160
+
+
+def test_oracle_fixture_points_clear_of_boundaries():
+    """The spatial-join oracle (entry_queries._sql_spatial_join) is
+    parity-only ray-cast with no boundary handling, while the engine
+    counts within-EPS-of-edge as inside. Agreement is BY CONSTRUCTION:
+    assert no derived customer point comes near any polygon edge or shares
+    a vertex latitude, at every fixture scale (ADVICE r1)."""
+    import duckdb
+
+    from geopy_spark import synth
+
+    polys = synth.oracle_polygons()
+    margin = 1e-6  # >> engine EPS (1e-9)
+    for sf in ("sf0.001", "sf0.01"):
+        keys = duckdb.sql(
+            f"SELECT c_custkey FROM '/root/testdata/{sf}/customer.parquet'"
+        ).df()["c_custkey"].to_numpy()
+        plat = synth.derived_lat_np(keys)
+        plon = synth.derived_lon_np(keys)
+        for _, ring in polys:
+            r = np.asarray(ring, dtype=np.float64)
+            y1, x1 = r[:, 0], r[:, 1]
+            y2, x2 = np.roll(y1, -1), np.roll(x1, -1)
+            # point-to-segment distance in degree space, all points × edges
+            dx, dy = x2 - x1, y2 - y1
+            seg2 = dx * dx + dy * dy
+            px = plon[:, None] - x1[None, :]
+            py = plat[:, None] - y1[None, :]
+            t = np.clip((px * dx[None, :] + py * dy[None, :])
+                        / np.maximum(seg2[None, :], 1e-30), 0.0, 1.0)
+            ddx = px - t * dx[None, :]
+            ddy = py - t * dy[None, :]
+            d2 = ddx * ddx + ddy * ddy
+            assert d2.min() > margin * margin
+            # no point latitude within margin of a vertex latitude (the
+            # parity test's strict-inequality flip zone)
+            assert np.abs(plat[:, None] - y1[None, :]).min() > margin

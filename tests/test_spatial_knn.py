@@ -83,3 +83,18 @@ def test_knn_hotspot_skew(spark, points_pdf):
     out = knn_join(qs, pts, k=3, level=5, point_id="id")
     cnt = out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
     assert len(cnt) == 8 and all(r.n == 3 for r in cnt)
+
+
+def test_knn_nonbroadcast_path_equals_broadcast(spark, points_pdf):
+    """broadcast_max_cells=0 forces the shuffle-join fallback in BOTH
+    phases (the 10^7-query guard, VERDICT r1) — results must be identical
+    to the broadcast fan-out path."""
+    qpdf = synth.make_knn_queries_pdf(12)
+    pts = spark.createDataFrame(points_pdf.rename(columns={"point_id": "id"}))
+    qs = spark.createDataFrame(qpdf)
+    a = {(r.query_id, r.neighbor_id, r["rank"])
+         for r in knn_join(qs, pts, k=4, level=4, point_id="id").collect()}
+    b = {(r.query_id, r.neighbor_id, r["rank"])
+         for r in knn_join(qs, pts, k=4, level=4, point_id="id",
+                           broadcast_max_cells=0).collect()}
+    assert a == b and len(a) == 12 * 4

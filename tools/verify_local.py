@@ -21,7 +21,9 @@ sys.path.insert(0, "/root/repo")
 from __spark_entry__ import entry, oracle_sql, queries  # noqa: E402
 from geopy_spark.session import TPCH_TABLES, get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
