@@ -1,10 +1,13 @@
 """Image payload codecs + perceptual hash — pure numpy (SURVEY.md §2.3).
 
-No PIL/cv2 in this sandbox, so the codecs are implemented from scratch and
-are this engine's own deterministic formats (FIXTURES.md §B):
+No PIL/cv2 in this sandbox, so the codecs are implemented from scratch
+(FIXTURES.md §B):
 
 * ``raw``  — h*w*3 uint8, C-order. Lossless.
 * ``ppm``  — binary P6 netpbm (public format). Lossless.
+* ``png``  — real-world public format (RFC 2083), from-scratch decoder
+             (all 5 filters, gray/RGB/palette/alpha) and encoder in
+             kernels/png.py using stdlib zlib + numpy. Lossless.
 * ``rle``  — byte run-length pairs (count,value) over the raw stream,
              prefixed with a 12-byte header. Lossless.
 * ``qjpg`` — deterministic lossy: uniform quantization of each channel to
@@ -23,7 +26,9 @@ from __future__ import annotations
 
 import numpy as np
 
-FORMATS = ("raw", "ppm", "rle", "qjpg")
+from .png import decode_png, encode_png
+
+FORMATS = ("raw", "ppm", "rle", "qjpg", "png")
 _MAGIC_RLE = b"GRLE"
 _MAGIC_QJPG = b"GQJP"
 
@@ -123,8 +128,10 @@ def _dec_qjpg(buf: bytes, w: int, h: int) -> np.ndarray:
     return rec.reshape(int(ph), int(pw), 3)
 
 
-_ENCODERS = {"raw": _enc_raw, "ppm": _enc_ppm, "rle": _enc_rle, "qjpg": _enc_qjpg}
-_DECODERS = {"raw": _dec_raw, "ppm": _dec_ppm, "rle": _dec_rle, "qjpg": _dec_qjpg}
+_ENCODERS = {"raw": _enc_raw, "ppm": _enc_ppm, "rle": _enc_rle,
+             "qjpg": _enc_qjpg, "png": lambda img: encode_png(img)}
+_DECODERS = {"raw": _dec_raw, "ppm": _dec_ppm, "rle": _dec_rle,
+             "qjpg": _dec_qjpg, "png": lambda buf, w, h: decode_png(buf)}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:
