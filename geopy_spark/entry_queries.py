@@ -623,6 +623,261 @@ FROM events GROUP BY event_type
 """
 
 
+def q_pivot_status(spark, sf_dir):
+    """R13-adjacent wide↔long reshaping: groupBy().pivot().agg() into one
+    column per order status, then stack() back to long form (so the
+    oracle twin is plain two-key aggregation — the reshaping round-trip is
+    what's exercised). Pivot values are listed explicitly: an unlisted
+    pivot needs an extra distinct pass over the data at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.round(F.sum("o_totalprice"), 2)))
+    return (wide.select("yr", F.expr(
+        "stack(3, 'O', `O`, 'F', `F`, 'P', `P`) AS (status, total)"))
+        .filter(F.col("total").isNotNull()))
+
+
+_SQL_PIVOT = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus AS status,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """R11/R12 extension: exact median and interpolated percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    interpolation on the order statistics), plus an HLL-style bounded
+    check for approx_percentile — the approximate estimator differs by
+    engine, so the gated column is `approx within 2% of exact`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+                 F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+                 F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+                 F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_ap"),
+                 F.count("*").alias("n"))
+            .select("l_returnflag", "median_price", "p90_price", "p99_price",
+                    (F.abs(F.col("_ap") - F.col("p90_price"))
+                     <= 0.02 * F.col("p90_price")).alias("approx_within_2pct"),
+                    "n"))
+
+
+_SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+       true AS approx_within_2pct,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_stats_agg(spark, sf_dir):
+    """R11 statistical aggregates: stddev/variance (sample) and the
+    two-column co-moments corr/covar_samp — all single-pass partial-
+    aggregable (Welford-style merge), so they scale like sum/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+                 F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                 .alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+                 .alias("covar_qty_price")))
+
+
+_SQL_STATS = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_dms_parse(spark, sf_dir):
+    """G13 second half: DMS coordinate-string parse. Both engines build
+    the identical DMS strings (integer deg/min/sec derived from the
+    shared lat/lon arithmetic — integer rendering is byte-identical
+    cross-engine, float rendering would not be); Spark then PARSES them
+    back with regexp_extract, while the oracle computes the expected
+    decimal directly from the components — so a broken parser fails the
+    hash even though both sides agree on the input strings."""
+    pts = customer_points(spark, sf_dir).filter(F.col("point_id") % 7 == 0)
+
+    def dms_str(coord, pos, neg):
+        a = F.abs(coord)
+        deg = F.floor(a).cast("long")
+        mn = F.floor(a * 60).cast("long") - deg * 60
+        sec = F.floor(a * 3600).cast("long") - F.floor(a * 60).cast("long") * 60
+        return F.concat(deg.cast("string"), F.lit("°"),
+                        mn.cast("string"), F.lit("'"),
+                        sec.cast("string"), F.lit('"'),
+                        F.when(coord >= 0, F.lit(pos)).otherwise(F.lit(neg)))
+
+    def dms_parse(s):
+        pat = r'^(\d+)°(\d+)\'(\d+)"([NSEW])$'
+        deg = F.regexp_extract(s, pat, 1).cast("double")
+        mn = F.regexp_extract(s, pat, 2).cast("double")
+        sec = F.regexp_extract(s, pat, 3).cast("double")
+        sign = F.when(F.regexp_extract(s, pat, 4).isin("S", "W"), -1.0).otherwise(1.0)
+        return F.round((deg + mn / 60.0 + sec / 3600.0) * sign, 6)
+
+    out = pts.select("point_id",
+                     dms_str(F.col("lat"), "N", "S").alias("dms_lat"),
+                     dms_str(F.col("lon"), "E", "W").alias("dms_lon"))
+    return out.select("point_id", "dms_lat", "dms_lon",
+                      dms_parse(F.col("dms_lat")).alias("lat_parsed"),
+                      dms_parse(F.col("dms_lon")).alias("lon_parsed"))
+
+
+def _sql_dms() -> str:
+    def comps(c):
+        return (f"CAST(floor(abs({c})) AS BIGINT)",
+                f"CAST(floor(abs({c}) * 60) AS BIGINT) - CAST(floor(abs({c})) AS BIGINT) * 60",
+                f"CAST(floor(abs({c}) * 3600) AS BIGINT) - CAST(floor(abs({c}) * 60) AS BIGINT) * 60")
+
+    def build(c, pos, neg):
+        d, m, s = comps(c)
+        return (f"CAST({d} AS VARCHAR) || '°' || CAST({m} AS VARCHAR) || '''' || "
+                f"CAST({s} AS VARCHAR) || '\"' || CASE WHEN {c} >= 0 THEN '{pos}' ELSE '{neg}' END")
+
+    def parsed(c):
+        d, m, s = comps(c)
+        return (f"round(({d} + ({m}) / 60.0 + ({s}) / 3600.0) * "
+                f"CASE WHEN {c} >= 0 THEN 1.0 ELSE -1.0 END, 6)")
+
+    return f"""
+WITH pts AS ({_CUST_PTS_SQL}) , f AS (SELECT * FROM pts WHERE point_id % 7 = 0)
+SELECT point_id,
+       {build('lat', 'N', 'S')} AS dms_lat,
+       {build('lon', 'E', 'W')} AS dms_lon,
+       {parsed('lat')} AS lat_parsed,
+       {parsed('lon')} AS lon_parsed
+FROM f
+"""
+
+
+def q_tile_fanout_udtf(spark, sf_dir):
+    """R27 via the real Spark-4 Python UDTF surface: one point row →
+    one row per pyramid level z=0..6 with its (x, y) tile, consumed
+    through a SQL LATERAL join. NOTE: a Python UDTF evals per row — this
+    query demonstrates the API on a bounded point subset; the production
+    fan-out path at 100 TB is the vectorized array+explode in
+    operators/tiling.py (same math, whole-stage codegen)."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="point_id bigint, z bigint, x bigint, y bigint")
+    class TileFanout:
+        def eval(self, point_id, lat, lon):
+            for z in range(7):
+                n = float(2 ** z)
+                lon_w = (lon + 180.0) % 360.0 - 180.0
+                x = int(min(max(math.floor((lon_w + 180.0) / 360.0 * n), 0),
+                            2 ** z - 1))
+                la = math.radians(min(max(lat, -85.05112878), 85.05112878))
+                merc = math.log(math.tan(la) + 1.0 / math.cos(la))
+                y = int(min(max(math.floor((1.0 - merc / math.pi) / 2.0 * n), 0),
+                            2 ** z - 1))
+                yield point_id, z, x, y
+
+    spark.udtf.register("tile_fanout_udtf", TileFanout)
+    pts = customer_points(spark, sf_dir).filter(F.col("point_id") % 37 == 0)
+    pts.createOrReplaceTempView("pts_udtf_r27")
+    return spark.sql("SELECT t.* FROM pts_udtf_r27 p, "
+                     "LATERAL tile_fanout_udtf(p.point_id, p.lat, p.lon) t")
+
+
+def _sql_tile_fanout() -> str:
+    levels = "\nUNION ALL\n".join(
+        f"SELECT point_id, CAST({z} AS BIGINT) AS z, "
+        f"{geo.tile_x_sql('lon', z)} AS x, {geo.tile_y_sql('lat', z)} AS y FROM f"
+        for z in range(7))
+    return f"""
+WITH pts AS ({_CUST_PTS_SQL}), f AS (SELECT * FROM pts WHERE point_id % 37 = 0)
+{levels}
+"""
+
+
+def q_sample_bernoulli(spark, sf_dir):
+    """R24 second half: the engine-random sampling surface —
+    df.sample(fraction, seed) and SQL TABLESAMPLE — which is NOT
+    cross-engine reproducible (each engine's PRNG differs), so the gated
+    columns are the exact total plus booleans asserting each sampled
+    count sits within ±0.05·n of the expected 0.1·n (>13σ for n=15000:
+    deterministic-for-fixed-seed AND statistically impossible to fail on
+    a correct Bernoulli sampler). Cross-engine-reproducible sampling is
+    q_sample_deterministic (hash-prefix)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_r24")
+    ns = o.sample(fraction=0.1, seed=42).agg(F.count("*").alias("n_sample"))
+    nt = spark.sql("SELECT count(*) AS n_ts FROM orders_r24 "
+                   "TABLESAMPLE (10 PERCENT) REPEATABLE (7)")
+    tot = o.agg(F.count("*").alias("total"))
+    ok = lambda c: ((F.col(c) >= 0.05 * F.col("total"))  # noqa: E731
+                    & (F.col(c) <= 0.15 * F.col("total")))
+    return (tot.crossJoin(ns).crossJoin(nt)
+            .select("total", ok("n_sample").alias("sample_frac_ok"),
+                    ok("n_ts").alias("tablesample_frac_ok")))
+
+
+_SQL_SAMPLE_BERNOULLI = """
+SELECT count(*) AS total, true AS sample_frac_ok, true AS tablesample_frac_ok
+FROM orders
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN over the embeddings table (the second ANN scale path next
+    to banded LSH — see operators/similarity.ivf_topk for the 100 TB
+    shape). Deterministic end-to-end (shared centroid literals, ties by
+    id), so the oracle recomputes the identical index+probe+rerank
+    pipeline in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id",
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+    qs = (base.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    out = similarity.ivf_topk(base, qs, k=5, vec_col="v", qvec_col="qv",
+                              n_centroids=16, nprobe=2, seed=11)
+    return out.select("query_id", "vec_id", "cosine_r",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_ivf_topk() -> str:
+    cents = similarity.ivf_centroids(16, 64, 11)
+    values = ",\n".join(
+        f"({cid}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for cid, c in enumerate(cents))
+    cos = ("list_inner_product({a}, {b}) / "
+           "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))")
+    return f"""
+WITH cent(cid, cv) AS (VALUES {values}),
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+ac AS (SELECT e.vec_id, c.cid, {cos.format(a='e.v', b='c.cv')} AS cos
+       FROM emb e CROSS JOIN cent c),
+asn AS (SELECT vec_id, cid FROM ac
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ac WHERE vec_id < 8
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) <= 2),
+s AS (SELECT p.query_id, a.vec_id, {cos.format(a='ev.v', b='qv.v')} AS cos
+      FROM asn a JOIN probes p ON a.cid = p.cid
+      JOIN emb ev ON ev.vec_id = a.vec_id
+      JOIN emb qv ON qv.vec_id = p.query_id)
+SELECT query_id, vec_id, round(CAST(cos AS DOUBLE), 4) AS cosine_r,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+            AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming batch-equivalents (S3/S4 semantics on the static events table)
 # ---------------------------------------------------------------------------
@@ -1067,6 +1322,13 @@ QUERIES = {
     "events_json": q_events_json,
     "events_json_v2": q_events_json_v2,
     "weighted_avg_udaf": q_weighted_avg_udaf,
+    "pivot_status": q_pivot_status,
+    "percentiles": q_percentiles,
+    "stats_agg": q_stats_agg,
+    "dms_parse": q_dms_parse,
+    "tile_fanout_udtf": q_tile_fanout_udtf,
+    "sample_bernoulli": q_sample_bernoulli,
+    "ivf_topk": q_ivf_topk,
     "running_sum": q_running_sum,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
@@ -1112,6 +1374,13 @@ ORACLES = {
     "events_json": _SQL_EVENTS_JSON,
     "events_json_v2": _SQL_EVENTS_JSON_V2,
     "weighted_avg_udaf": _SQL_WAVG,
+    "pivot_status": _SQL_PIVOT,
+    "percentiles": _SQL_PERCENTILES,
+    "stats_agg": _SQL_STATS,
+    "dms_parse": _sql_dms(),
+    "tile_fanout_udtf": _sql_tile_fanout(),
+    "sample_bernoulli": _SQL_SAMPLE_BERNOULLI,
+    "ivf_topk": _sql_ivf_topk(),
     "running_sum": _SQL_RUNNING,
     "window_tumbling": _SQL_TUMBLING,
     "window_sliding": _SQL_SLIDING,

@@ -120,6 +120,47 @@ def test_ann_recall(emb_df):
         assert (r.query_id, r.vec_id) in got
 
 
+def test_ivf_topk_recall_and_exactness(emb_df):
+    """IVF ANN (operators/similarity.ivf_topk): on the seeded fixture the
+    planted near-dup neighbor lands in the same Voronoi cell as its query
+    (cosine 0.999+ → same nearest centroid), so recall@3 of the planted
+    pairs is 1.0; and every returned (cosine, rank) agrees with numpy
+    recomputation — the rerank stage is exact."""
+    pdf = emb_df.toPandas()
+    m = np.stack(pdf.embedding.map(np.asarray))
+    ids = pdf.vec_id.to_numpy()
+    qs = emb_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(emb_df, qs, k=3, n_centroids=8, nprobe=2)
+    rows = out.collect()
+    got = {(r.query_id, r.vec_id) for r in rows}
+    for q in range(5):
+        assert (q, q) in got, f"query {q} did not retrieve itself"
+        assert (q, 100 + q) in got, f"query {q} missed its planted near-dup"
+    for r in rows:
+        qv = m[ids == r.query_id][0]
+        dv = m[ids == r.vec_id][0]
+        ref = float(qv @ dv / (np.linalg.norm(qv) * np.linalg.norm(dv)))
+        assert abs(r.cosine_r - round(ref, 4)) <= 1e-9
+
+
+def test_ivf_assignment_partitions_corpus(emb_df):
+    """Every vector gets exactly one cell id in [0, n_centroids); probe
+    lists are distinct, ordered, and sized nprobe."""
+    cents = similarity.ivf_centroids(8, 64, 11)
+    asn = emb_df.select(
+        "vec_id", similarity.ivf_assign(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"), cents).alias("cid"),
+        similarity.ivf_probes(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"), cents, 3).alias("probes"))
+    rows = asn.collect()
+    assert len(rows) == emb_df.count()
+    for r in rows:
+        assert 0 <= r.cid < 8
+        assert len(r.probes) == 3 and len(set(r.probes)) == 3
+        assert r.probes[0] == r.cid  # best probe IS the assigned cell
+
+
 def test_lsh_bucket_guard_degenerate(spark):
     """1000 identical docs → one degenerate LSH bucket: the guard keeps
     the bucket join from going quadratic and the drop is reported, never
