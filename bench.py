@@ -104,22 +104,28 @@ def main() -> None:
     warm.join(F.broadcast(spark.range(10)), "id", "left_semi").count()
     load_table(spark, sf_dir, "lineitem").count()
 
-    # Each query runs twice: the first pass warms that query's python-worker
-    # code paths (kernel imports, scratch-buffer page faults — first-touch
-    # allocation on this host measures ~25 MB/s — and shuffle-file creation);
-    # the second pass is timed. Steady-state throughput is the number that
-    # transfers to a long-running 100 TB job, where per-executor warmup
-    # amortizes to nothing; cold+warm are both visible in the JSON.
+    # Each query runs three times: the first (cold) pass warms that query's
+    # python-worker code paths (kernel imports, scratch-buffer page faults —
+    # first-touch allocation on this host measures ~25 MB/s — shuffle-file
+    # creation, JIT); the reported time is the MIN of the two warm passes.
+    # This host is a shared VM with documented 3x wall-clock variance between
+    # identical runs (BENCH/BASELINE.md), so a single warm sample can be 4x
+    # off; min-of-warm is the steady-state number that transfers to a
+    # long-running 100 TB job. All passes stay visible in the JSON.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    warm_all: dict[str, list[float]] = {}
     counts: dict[str, int] = {}
     for name, fn in BENCH.items():
         t0 = time.monotonic()
         counts[name] = fn(spark, sf_dir)
         cold[name] = round(time.monotonic() - t0, 3)
-        t0 = time.monotonic()
-        counts[name] = fn(spark, sf_dir)
-        times[name] = round(time.monotonic() - t0, 3)
+        warm_all[name] = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            counts[name] = fn(spark, sf_dir)
+            warm_all[name].append(round(time.monotonic() - t0, 3))
+        times[name] = min(warm_all[name])
 
     total = round(sum(times.values()), 3)
     n_pts = load_table(spark, sf_dir, "lineitem").count()
@@ -129,6 +135,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "cold_first_run": cold,
+        "warm_runs": warm_all,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "counts": counts,
         "spatial_rows_per_sec": round(n_pts / max(times["spatial_join"], 1e-9), 1),
