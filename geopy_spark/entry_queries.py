@@ -833,6 +833,105 @@ FROM orders
 """
 
 
+def q_wav_features(spark, sf_dir):
+    """Driver-visible gate for the from-scratch WAV codec (kernels/wav):
+    Spark synthesizes sine clips, runs the REAL encode→decode roundtrip,
+    and extracts features; the oracle recomputes the same features from
+    first principles INCLUDING the 16-bit quantization the roundtrip
+    applies (q = clip(rint(s·2^15))/2^15) — so a codec that corrupts
+    samples, scales wrong, or mis-frames channels fails the hash. All
+    arithmetic is the shared-constant protocol: both engines evaluate
+    sin(2π·f0·(i/sr)) with identical parenthesization."""
+    import pandas as pd
+
+    from .kernels import wav as W
+
+    ids = spark.range(5).select(F.col("id").alias("media_id"))
+
+    # explicit functionType: module-level `from __future__ import
+    # annotations` stringifies hints, breaking Spark's hint inference
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("struct<duration_s:double,rms:double,peak:double,zcr:double>",
+                  PandasUDFType.SCALAR)
+    def feats(mid):
+        import numpy as np
+        rows = []
+        for m in mid:
+            sr = n = 8000
+            f0 = 220.0 + 55.0 * float(m)
+            s = 0.8 * np.sin(2.0 * np.pi * f0 * (np.arange(n) / sr))
+            decoded, meta = W.decode_wav(W.encode_wav(s, sr))
+            f = W.audio_features(decoded, meta["sample_rate"])
+            rows.append((f["duration_s"], f["rms"], f["peak"], f["zcr"]))
+        return pd.DataFrame(rows, columns=["duration_s", "rms", "peak", "zcr"])
+
+    return (ids.withColumn("f", feats(F.col("media_id")))
+            .select("media_id",
+                    F.col("f.duration_s").alias("duration_s"),
+                    F.round("f.rms", 6).alias("rms6"),
+                    F.round("f.peak", 6).alias("peak6"),
+                    F.round("f.zcr", 6).alias("zcr6")))
+
+
+_SQL_WAV_FEATURES = """
+WITH ids AS (SELECT unnest(range(5)) AS media_id),
+s AS (SELECT media_id, i,
+             0.8 * sin(2.0 * pi() * (220.0 + 55.0 * media_id) * (i / 8000.0)) AS v
+      FROM ids CROSS JOIN (SELECT unnest(range(8000)) AS i) t),
+q AS (SELECT media_id, i,
+             least(greatest(round(v * 32768.0), -32768.0), 32767.0) / 32768.0 AS qv
+      FROM s),
+z AS (SELECT media_id, qv,
+             lag(qv) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      FROM q)
+SELECT media_id,
+       count(*) / 8000.0 AS duration_s,
+       round(sqrt(avg(qv * qv)), 6) AS rms6,
+       round(max(abs(qv)), 6) AS peak6,
+       round(sum(CASE WHEN prev IS NOT NULL AND (qv < 0) <> (prev < 0)
+                      THEN 1 ELSE 0 END) / (count(*) - 1.0), 6) AS zcr6
+FROM z GROUP BY media_id
+"""
+
+
+def q_geodesic_check(spark, sf_dir):
+    """G12 ellipsoidal path, driver-gated via a bounded-consistency
+    contract: the WGS-84 Vincenty distance (pandas-UDF kernel — the
+    iteration is not SQL-expressible) must sit within the theoretical
+    flattening bound of the exact haversine that BOTH engines compute.
+    Gated columns: the pair ids, the exact spherical meters (true
+    cross-engine check), and the boolean bound."""
+    n = load_table(spark, sf_dir, "nation")
+    pts = n.select(F.col("n_nationkey").alias("pid"),
+                   geo.derived_lat(F.col("n_nationkey") + 31).alias("lat"),
+                   geo.derived_lon(F.col("n_nationkey") + 71).alias("lon"))
+    a = pts.select(F.col("pid").alias("a"), F.col("lat").alias("lat1"),
+                   F.col("lon").alias("lon1"))
+    b = pts.select(F.col("pid").alias("b"), F.col("lat").alias("lat2"),
+                   F.col("lon").alias("lon2"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    sph = geo.haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    ell = geo.geodesic_m_udf(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    return (pairs.withColumn("sph_m", F.round(sph, 3))
+            .withColumn("ell_ok",
+                        (F.abs(ell - sph) / F.greatest(sph, F.lit(1.0))) < 0.006)
+            .select("a", "b", "sph_m", "ell_ok"))
+
+
+def _sql_geodesic() -> str:
+    from .synth import derived_lat_sql, derived_lon_sql
+    h = geo.haversine_m_sql("p1.lat", "p1.lon", "p2.lat", "p2.lon")
+    return f"""
+WITH pts AS (SELECT n_nationkey AS pid,
+                    {derived_lat_sql('(n_nationkey + 31)')} AS lat,
+                    {derived_lon_sql('(n_nationkey + 71)')} AS lon
+             FROM nation)
+SELECT p1.pid AS a, p2.pid AS b, round({h}, 3) AS sph_m, true AS ell_ok
+FROM pts p1 JOIN pts p2 ON p1.pid < p2.pid
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN over the embeddings table (the second ANN scale path next
     to banded LSH — see operators/similarity.ivf_topk for the 100 TB
@@ -1071,6 +1170,7 @@ def q_text_features(spark, sf_dir):
     return d.select(
         "doc_id",
         text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         F.round(text.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
         text.quality_score(F.col("text")).alias("quality"),
         text.lang_id(F.col("text")).alias("lang_guess"),
@@ -1081,6 +1181,7 @@ def q_text_features(spark, sf_dir):
 _SQL_TEXT = f"""
 SELECT doc_id,
        CAST({text.token_count_sql('text')} AS BIGINT) AS n_tokens,
+       CAST({text.bpe_token_count_sql('text')} AS BIGINT) AS n_bpe_tokens,
        round({text.punct_ratio_sql('text')}, 4) AS punct_ratio,
        {text.quality_score_sql('text')} AS quality,
        {text.lang_id_sql('text')} AS lang_guess,
@@ -1329,6 +1430,8 @@ QUERIES = {
     "tile_fanout_udtf": q_tile_fanout_udtf,
     "sample_bernoulli": q_sample_bernoulli,
     "ivf_topk": q_ivf_topk,
+    "wav_features": q_wav_features,
+    "geodesic_check": q_geodesic_check,
     "running_sum": q_running_sum,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
@@ -1381,6 +1484,8 @@ ORACLES = {
     "tile_fanout_udtf": _sql_tile_fanout(),
     "sample_bernoulli": _SQL_SAMPLE_BERNOULLI,
     "ivf_topk": _sql_ivf_topk(),
+    "wav_features": _SQL_WAV_FEATURES,
+    "geodesic_check": _sql_geodesic(),
     "running_sum": _SQL_RUNNING,
     "window_tumbling": _SQL_TUMBLING,
     "window_sliding": _SQL_SLIDING,

@@ -25,6 +25,29 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     return F.lit(2.0 * EARTH_RADIUS_M) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
 
 
+def geodesic_m_udf(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """WGS-84 ellipsoidal distance (Vincenty inverse, kernels/geodesy) as
+    an Arrow-batched pandas UDF — the optional precise half of G12. The
+    JVM-side haversine above stays the hot path (kNN only needs ordering,
+    where spherical ≡ ellipsoidal to within the 0.56% flattening bound);
+    use this when absolute meters on the ellipsoid matter."""
+    import pandas as pd
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies hints, which Spark's hint inference can't
+    # resolve here (same workaround as the GROUPED_AGG UDAF in
+    # entry_queries)
+    from pyspark.sql.functions import PandasUDFType
+
+    from ..kernels.geodesy import vincenty_m
+
+    @F.pandas_udf("double", PandasUDFType.SCALAR)
+    def _geo(a, b, c, d):
+        dist, _conv = vincenty_m(a.to_numpy(), b.to_numpy(),
+                                 c.to_numpy(), d.to_numpy())
+        return pd.Series(dist)
+    return _geo(lat1, lon1, lat2, lon2)
+
+
 def normalize_lon(lon: Column) -> Column:
     """Wrap longitude to [-180, 180) — F.pmod column math (G13)."""
     return F.pmod(lon + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)

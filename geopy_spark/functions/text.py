@@ -35,6 +35,25 @@ def token_count_sql(text: str) -> str:
             f"ELSE length(string_split_regex(trim({text}), '\\s+')) END")
 
 
+# GPT-2-style pre-tokenizer alternation (public pattern, simplified to the
+# subset Java regex and RE2 interpret identically: no lookahead, ASCII
+# classes). Leftmost-first alternation in both engines, so match COUNTS
+# agree; contractions split off, letters/digits/punctuation each grab an
+# optional leading space, residual space runs count once.
+_BPE_RE = "('s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +)"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer split (task brief:
+    'token counting (whitespace + a BPE-ish regex)')."""
+    return F.regexp_count(text, F.lit(_BPE_RE))
+
+
+def bpe_token_count_sql(text: str) -> str:
+    pat = _BPE_RE.replace("'", "''")
+    return f"len(regexp_extract_all({text}, '{pat}'))"
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are not [a-z0-9 ] (lower-cased text)."""
     low = F.lower(text)

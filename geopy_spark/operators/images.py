@@ -87,6 +87,7 @@ def psnr_vs_udf(bytes_a: Column, fmt_a: Column, bytes_b: Column, fmt_b: Column,
 
 VERIFY_SCHEMA = StructType([
     StructField("n", LongType()),
+    StructField("n_roundtrip", LongType()),
     StructField("min_psnr", DoubleType()),
     StructField("n_psnr_bad", LongType()),
     StructField("n_phash_bad", LongType()),
@@ -106,7 +107,8 @@ def caption_digests(df: DataFrame, id_col: str = "image_id") -> DataFrame:
 
 def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg",
                               lossless_fmt: str = "rle",
-                              digests: DataFrame | None = None) -> DataFrame:
+                              digests: DataFrame | None = None,
+                              roundtrip_sample: int = 1) -> DataFrame:
     """Single-pass payload invariant check (BASELINE.json:15): decode →
     lossy round-trip PSNR≥40dB, lossless round-trip EXACT pixel equality,
     stored-vs-recomputed phash, caption byte-equality vs the ingest digest
@@ -114,8 +116,16 @@ def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg",
     still a string now fails, unlike the round-1 isinstance check) — one
     mapInPandas stage, one decode per image, payloads never shuffle (the
     digest join moves only 40-byte rows) and no chained UDF nodes. Emits
-    one partial row per batch; callers sum them."""
-    cols = ["bytes", "fmt", "w", "h", "phash", "caption"]
+    one partial row per batch; callers sum them.
+
+    ``roundtrip_sample``: the DATA-integrity checks (phash vs stored,
+    caption digest) run on EVERY row — they catch per-row corruption. The
+    encode→decode roundtrip checks (PSNR bound, lossless invertibility)
+    validate CODE properties that are identical for every row, so at the
+    10^12-row design point they run on a deterministic 1-in-k sample
+    (FNV(image_id) % k == 0); the sampled count is REPORTED as
+    ``n_roundtrip`` — never a silent cap. Default 1 = full coverage."""
+    cols = ["image_id", "bytes", "fmt", "w", "h", "phash", "caption"]
     if digests is not None:
         df = df.join(digests, "image_id", "left")
         cap_ok = (F.col("caption_sha").isNotNull()
@@ -125,24 +135,30 @@ def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg",
         cap_ok = F.col("caption").isNotNull()
     df = df.withColumn("_cap_ok", cap_ok)
     cols.append("_cap_ok")
+    k = max(int(roundtrip_sample), 1)
 
     def _f(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.multimodal import hash_32
         for pdf in it:
             n = len(pdf)
-            min_psnr, psnr_bad, phash_bad, ll_bad = float("inf"), 0, 0, 0
+            n_rt, psnr_bad, phash_bad, ll_bad = 0, 0, 0, 0
+            min_psnr = float("inf")
             cap_bad = int((~pdf["_cap_ok"].astype(bool)).sum())
             for r in pdf.itertuples(index=False):
                 img = C.decode(r.bytes, r.fmt, int(r.w), int(r.h))
+                phash_bad += C.phash64(img) != r.phash
+                if k > 1 and hash_32(r.image_id) % k:
+                    continue
+                n_rt += 1
                 rt = C.decode(C.encode(img, lossy_fmt), lossy_fmt, int(r.w), int(r.h))
                 p = C.psnr(img, rt)
                 min_psnr = min(min_psnr, p)
                 psnr_bad += p < 40.0
-                phash_bad += C.phash64(img) != r.phash
                 ll = C.decode(C.encode(img, lossless_fmt), lossless_fmt,
                               int(r.w), int(r.h))
                 ll_bad += not np.array_equal(ll, img)
             yield pd.DataFrame(
-                [(n, min_psnr, psnr_bad, phash_bad, cap_bad, ll_bad)],
+                [(n, n_rt, min_psnr, psnr_bad, phash_bad, cap_bad, ll_bad)],
                 columns=[f.name for f in VERIFY_SCHEMA.fields])
     return df.select(*cols).mapInPandas(_f, VERIFY_SCHEMA)
 

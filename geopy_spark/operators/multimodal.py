@@ -2,15 +2,17 @@
 audio / video as opaque binary columns with typed metadata, processed in
 Arrow-batched mapInPandas stages.
 
-What is REAL here: the Spark-side plumbing — schemas, batch iteration,
-partitioning-safe UDF signatures, image decode/resize/feature-extract via
-the engine's own codecs, deterministic fake decoders for audio/video so the
-pipeline shape is testable end-to-end.
+What is REAL: the Spark-side plumbing (schemas, batch iteration,
+partitioning-safe UDF signatures), image decode via the engine codecs
+(raw/ppm/rle/qjpg/png), audio decode for WAV (RIFF PCM — kernels/wav,
+from-scratch public-spec codec), and video decode for Y4M (YUV4MPEG2 —
+kernels/y4m, ditto). Deterministic fake decoders remain for plumbing
+tests that don't care about bytes.
 
-What is STUBBED (this container has no PIL/cv2/ffmpeg/soundfile): external-
-format decoders. `decode_audio`/`decode_video` raise NotImplementedError
-for real formats unless mode="fake"; the fake decoder is deterministic
-(seeded by media_id) so tests and goldens are stable.
+What is STUBBED (no PIL/cv2/ffmpeg/soundfile in this container):
+compressed audio/video (mp3/aac/h264…) — those formats raise
+NotImplementedError with a clear message; the WAV/Y4M paths demonstrate
+the full strict-mode pipeline on formats the outside world produces.
 """
 
 from __future__ import annotations
@@ -25,6 +27,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
 from ..kernels import codecs as C
+from ..kernels import wav as W
+from ..kernels import y4m as Y
 
 # typed metadata the binary payload travels with (schema-on-read contract)
 MEDIA_SCHEMA = StructType([
@@ -61,24 +65,35 @@ def hash_32(s: str) -> int:
 
 def decode_audio(payload: bytes, fmt: str, media_id: str, sample_rate: int,
                  mode: str = "strict") -> np.ndarray:
-    """STUB for real audio codecs (no soundfile/ffmpeg in this container).
-    mode="fake" returns a deterministic seeded waveform with the right
-    shape so downstream plumbing is fully exercised."""
+    """Audio decode: REAL for fmt='wav' (kernels/wav — RIFF PCM, public
+    spec); mode='fake' returns a deterministic seeded waveform for
+    plumbing tests; compressed codecs (mp3/aac/…) need external
+    libraries absent in this container and raise."""
     if mode == "fake":
         return _fake_audio(media_id, sample_rate)
+    if fmt == "wav":
+        samples, _meta = W.decode_wav(payload)
+        return samples
     raise NotImplementedError(
         f"audio codec '{fmt}' needs an external library not present in this "
-        f"environment; run with mode='fake' for plumbing tests")
+        f"environment; supported real format: 'wav' (kernels/wav)")
 
 
 def decode_video_frames(payload: bytes, fmt: str, media_id: str, w: int, h: int,
-                        n_frames: int, mode: str = "strict") -> np.ndarray:
-    """STUB for real video demux/decode — same contract as decode_audio."""
+                        n_frames: int, mode: str = "strict",
+                        every_k: int = 1) -> np.ndarray:
+    """Video decode to (n, h, w, 3) uint8 RGB: REAL for fmt='y4m'
+    (kernels/y4m — YUV4MPEG2, public spec; skipped frames cost only
+    offset arithmetic when every_k > 1); mode='fake' is the seeded
+    plumbing path; compressed codecs (h264/vp9/…) raise."""
     if mode == "fake":
-        return _fake_frames(media_id, w, h, n_frames)
+        return _fake_frames(media_id, w, h, n_frames)[::max(every_k, 1)]
+    if fmt == "y4m":
+        planes, _meta = Y.decode_y4m(payload, every_k)
+        return np.stack([Y.yuv420_to_rgb(*p) for p in planes])
     raise NotImplementedError(
         f"video codec '{fmt}' needs ffmpeg-like tooling not present here; "
-        f"run with mode='fake' for plumbing tests")
+        f"supported real format: 'y4m' (kernels/y4m)")
 
 
 # --------------------------------------------------------------- operators
@@ -162,10 +177,13 @@ def sample_video_frames(df: DataFrame, every_k: int, mode: str = "strict") -> Da
             for r in pdf.itertuples(index=False):
                 if r.kind != "video":
                     continue
+                # every_k pushes into the decoder: y4m skips unread frames
+                # by offset arithmetic, never decoding dropped frames
                 frames = decode_video_frames(r.payload, r.fmt, r.media_id,
-                                             int(r.w), int(r.h), int(r.n_frames), mode)
-                for k in range(0, frames.shape[0], every_k):
-                    rows.append((r.media_id, k, C.encode(frames[k], "raw"),
+                                             int(r.w), int(r.h), int(r.n_frames),
+                                             mode, every_k=every_k)
+                for i, fr in enumerate(frames):
+                    rows.append((r.media_id, i * every_k, C.encode(fr, "raw"),
                                  int(r.w), int(r.h)))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
     return df.mapInPandas(_fn, out_schema)

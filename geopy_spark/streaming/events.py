@@ -89,6 +89,42 @@ def running_user_totals(stream: DataFrame, watermark: str = "1 hour") -> DataFra
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def running_user_totals_tws(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S6 via the Spark-4 transformWithStateInPandas API (the successor to
+    applyInPandasWithState): a StatefulProcessor with a typed ValueState —
+    the state store must be RocksDB (set
+    spark.sql.streaming.stateStore.providerClass to
+    ...RocksDBStateStoreProvider before starting the query; bundled with
+    Spark, no external dependency). Output contract matches
+    running_user_totals so both surfaces are interchangeable. NOTE: the
+    python<->JVM state protocol requires google.protobuf at runtime —
+    present on normal Spark clusters, absent in this sandbox (test skips
+    there; applyInPandasWithState above is the sandbox-verified path)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, sum_v = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                cnt += len(pdf)
+                sum_v += float(pdf["value"].sum())
+            self._st.update((cnt, sum_v))
+            yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt],
+                                "sum_v": [sum_v]})
+
+        def close(self) -> None:
+            pass
+
+    return (stream.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .transformWithStateInPandas(Totals(), _OUT_SCHEMA,
+                                        "Update", "ProcessingTime"))
+
+
 def run_available_now(out: DataFrame, checkpoint: str, sink_dir: str,
                       output_mode: str = "append") -> None:
     """S7: drain everything currently available, commit, stop — the batch-

@@ -52,6 +52,13 @@ def build_args(argv=None):
     ap.add_argument("--verify", action="store_true",
                     help="payload invariant stage: transcode->PSNR>=40dB + "
                          "stored-vs-recomputed phash (BASELINE.json:15)")
+    ap.add_argument("--verify-sample", type=int, default=1,
+                    help="1-in-k deterministic sample for the encode-decode "
+                         "ROUNDTRIP checks (PSNR bound, lossless exactness — "
+                         "code properties identical for every row); the "
+                         "per-row DATA checks (phash vs stored, caption "
+                         "digest) always run on every row. Sampled count is "
+                         "reported as n_roundtrip. Default 1 = full.")
     ap.add_argument("--fail-after", default=None,
                     help="fault injection: kill after committing this partition")
     return ap.parse_args(argv)
@@ -105,8 +112,11 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
             # is co-partitioned and the payload side still never shuffles
             if n_images <= 5_000_000:
                 dig = F.broadcast(dig)
-            chk = (verify_payload_invariants(images, digests=dig)
+            chk = (verify_payload_invariants(
+                       images, digests=dig,
+                       roundtrip_sample=getattr(args, "verify_sample", 1))
                    .agg(F.sum("n").alias("n"),
+                        F.sum("n_roundtrip").alias("n_roundtrip"),
                         F.min("min_psnr").alias("min_psnr"),
                         F.sum("n_psnr_bad").alias("n_psnr_bad"),
                         F.sum("n_phash_bad").alias("n_phash_bad"),
@@ -117,6 +127,10 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
             if (bad.n_psnr_bad or bad.n_phash_bad or bad.n_caption_bad
                     or bad.n_lossless_bad):
                 raise SystemExit(f"payload invariant violated: {bad}")
+            if bad.n_roundtrip < bad.n:
+                print(f"verify: roundtrip checks sampled {bad.n_roundtrip}/"
+                      f"{bad.n} rows (--verify-sample); data checks "
+                      f"(phash, caption digest) covered all rows", flush=True)
             _maybe_fail(args, "verify")
 
     # ---- stage 1: spatial join (G6) — its own snapshot

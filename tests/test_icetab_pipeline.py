@@ -94,6 +94,38 @@ def test_refuses_accidental_overwrite(images_path, tmp_path):
     assert r.returncode != 0  # must demand --resume
 
 
+def test_verify_sampling_keeps_data_checks_full(tmp_path):
+    """--verify-sample k samples only the encode-decode ROUNDTRIP (code
+    property) checks; the per-row DATA checks stay full-coverage — a
+    corrupted caption must be caught even at k=8, and the sampled
+    roundtrip count is reported, never silent."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    img_path = str(tmp_path / "images.parquet")
+    pdf = synth.make_images_pdf(120)
+    pq.write_table(pa.Table.from_pandas(pdf), img_path)
+
+    ok_dir = str(tmp_path / "ok")
+    r = _run_pipeline(img_path, ok_dir, ["--verify", "--verify-sample", "8"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "roundtrip checks sampled" in r.stdout  # visible, not silent
+
+    bad_dir = str(tmp_path / "bad")
+    r1 = _run_pipeline(img_path, bad_dir,
+                       ["--verify", "--verify-sample", "8",
+                        "--fail-after", "digests"])
+    assert r1.returncode == 42
+    pdf2 = pdf.copy()
+    pdf2.loc[11, "caption"] = "swapped caption, still a valid string"
+    pq.write_table(pa.Table.from_pandas(pdf2), img_path)
+    r2 = _run_pipeline(img_path, bad_dir,
+                       ["--verify", "--verify-sample", "8", "--resume"])
+    assert r2.returncode != 0
+    assert "invariant violated" in (r2.stdout + r2.stderr)
+
+
 def test_verify_gate_catches_corrupted_caption(tmp_path):
     """I6 as a real invariant: snapshot caption digests at ingest, then
     corrupt ONE caption (still a valid string) before the verify stage —

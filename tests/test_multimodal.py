@@ -19,7 +19,7 @@ def media_df(spark):
         rows.append((f"img{i}", "image", C.encode(img, "rle"), "rle",
                      16, 16, 0, 0, 0))
     for i in range(6):
-        rows.append((f"aud{i}", "audio", b"\x00" * 64, "wav", 0, 0, 16000, 1, 0))
+        rows.append((f"aud{i}", "audio", b"\x00" * 64, "mp3", 0, 0, 16000, 1, 0))
     for i in range(4):
         rows.append((f"vid{i}", "video", b"\x00" * 64, "mp4", 8, 8, 0, 0, 12))
     pdf = pd.DataFrame(rows, columns=[f.name for f in M.MEDIA_SCHEMA.fields])

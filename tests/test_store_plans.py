@@ -58,6 +58,38 @@ def test_tile_query_prunes_bytes_column(spark):
     X.assert_column_pruned(leaf, "caption")
 
 
+def test_ivf_plan_broadcast_probes_no_assignment_shuffle(spark):
+    """IVF discipline (operators/similarity.ivf_topk): centroid assignment
+    is a narrow map (NO Exchange between the scan and the cid column —
+    the 16 cosines evaluate inline per row), and the candidate join
+    broadcasts the tiny probe side. The only exchanges allowed are the
+    probe-side broadcast and the final per-query window shuffle."""
+    import pandas as pd
+
+    from geopy_spark.operators import similarity as SIM
+    from geopy_spark.plans import explain as X
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({"vec_id": range(200),
+                        "embedding": [r.tolist() for r in
+                                      rng.standard_normal((200, 64))]})
+    emb = spark.createDataFrame(pdf)
+    # assignment alone: zero exchanges — fused into the scan
+    cents = SIM.ivf_centroids(8, 64, 11)
+    asn = emb.select("vec_id", SIM.ivf_assign(F.col("embedding"), cents).alias("cid"))
+    assert X.count_exchanges(asn) == 0, X.plan_text(asn)[:2000]
+    # full query: probe side broadcast; no shuffle of the corpus for the join
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_topk(emb, qs, k=3, n_centroids=8, nprobe=2)
+    X.assert_broadcast_join(out)
+    plan = X.plan_text(out)
+    # exactly one shuffle Exchange (the window partitionBy query_id);
+    # broadcast exchanges are fine and not counted here
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 1, f"unexpected corpus shuffle ({shuffles}):\n{plan[:3000]}"
+
+
 def test_grouped_agg_partial_before_shuffle(spark):
     """Hash aggregation must be partial+final (map-side combine)."""
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

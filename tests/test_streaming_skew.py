@@ -88,6 +88,41 @@ def test_stream_session_and_stateful(spark, tmp_path, src_dir):
     assert b <= g or g == b  # single micro-batch → totals equal batch counts
 
 
+def test_stream_transform_with_state(spark, tmp_path, src_dir):
+    """S6 via the Spark-4 transformWithStateInPandas surface: same
+    per-user totals as the applyInPandasWithState path, RocksDB-backed
+    state (required by the API, bundled with Spark). The API's state
+    protocol needs google.protobuf, which this sandbox lacks (no pip) —
+    skip there; the operator itself (streaming/events.py
+    running_user_totals_tws) is the real surface for clusters that
+    have it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's python<->JVM state protocol needs "
+               "protobuf, absent in this sandbox")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        sink, ckpt = str(tmp_path / "s5"), str(tmp_path / "c5")
+        S.run_available_now(
+            S.running_user_totals_tws(S.stream_source(spark, src_dir)),
+            ckpt, sink, output_mode="update")
+        tot = spark.read.parquet(sink)
+        batch = (spark.read.parquet(f"{SF}/events.parquet")
+                 .groupBy("user_id").agg(F.count("*").alias("cnt"),
+                                         F.sum("value").alias("sum_v")))
+        g = {(r.user_id, r.cnt) for r in tot.collect()}
+        b = {(r.user_id, r.cnt) for r in batch.collect()}
+        assert g == b  # single micro-batch → totals equal batch counts
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_salted_join_equivalence(spark):
     # skewed big side: 80% of rows share key 7
     big = (spark.range(20000)

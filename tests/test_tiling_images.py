@@ -77,6 +77,32 @@ def test_transcode_invariants(spark, images_df):
     assert all(r.p >= 40.0 for r in chk)
 
 
+def test_verify_roundtrip_sampling_contract(spark, images_df):
+    """verify_payload_invariants: sample=1 covers every row; sample=8
+    covers a deterministic ~1/8 subset of the roundtrip checks while
+    phash/caption (data checks) stay full-coverage — and the report
+    carries the sampled count so nothing is silent."""
+    from geopy_spark.operators.images import (caption_digests,
+                                              verify_payload_invariants)
+    dig = F.broadcast(caption_digests(images_df))
+    agg = lambda df: df.agg(  # noqa: E731
+        F.sum("n").alias("n"), F.sum("n_roundtrip").alias("rt"),
+        F.sum("n_psnr_bad").alias("pb"), F.sum("n_phash_bad").alias("hb"),
+        F.sum("n_caption_bad").alias("cb"),
+        F.sum("n_lossless_bad").alias("lb")).first()
+    full = agg(verify_payload_invariants(images_df, digests=dig))
+    assert full.n == 200 and full.rt == 200
+    assert (full.pb, full.hb, full.cb, full.lb) == (0, 0, 0, 0)
+    s8 = agg(verify_payload_invariants(images_df, digests=dig,
+                                       roundtrip_sample=8))
+    assert s8.n == 200 and 0 < s8.rt < 200
+    assert (s8.pb, s8.hb, s8.cb, s8.lb) == (0, 0, 0, 0)
+    # the sample is deterministic (FNV over image_id), not random
+    s8b = agg(verify_payload_invariants(images_df, digests=dig,
+                                        roundtrip_sample=8))
+    assert s8b.rt == s8.rt
+
+
 def test_images_parquet_writer(tmp_path, spark):
     path = str(tmp_path / "img.parquet")
     synth.write_images_parquet(path, 50, chunk=16)

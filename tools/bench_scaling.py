@@ -30,12 +30,24 @@ sys.path.insert(0, REPO)
 
 
 def generate_input(path: str, n: int) -> float:
-    from geopy_spark.session import get_spark
-    from geopy_spark.synth import write_images_parquet_spark
-    spark = get_spark("gen_images", cores=32)
+    """Generate the input table in a SUBPROCESS. Doing this in-process left
+    the generator's 15 GB JVM alive through every measured run
+    (spark.stop() stops the context, but the py4j gateway JVM only exits
+    with its python process) burning ~1.8 cores of kernel+GC time — the
+    'host noise' that contaminated earlier windows was partly self-induced
+    by exactly this."""
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from geopy_spark.session import get_spark\n"
+        "from geopy_spark.synth import write_images_parquet_spark\n"
+        "spark = get_spark('gen_images', cores=32)\n"
+        "write_images_parquet_spark(spark, %r, %d, partitions=64)\n"
+        "spark.stop()\n" % (REPO, path, n))
     t0 = time.monotonic()
-    write_images_parquet_spark(spark, path, n, partitions=64)
-    spark.stop()
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=REPO, timeout=1800)
+    if r.returncode != 0:
+        raise RuntimeError(r.stdout[-1000:] + r.stderr[-1000:])
     return time.monotonic() - t0
 
 
@@ -44,9 +56,17 @@ def _cpu_ticks() -> list[int]:
 
 
 def run_pipeline(inp: str, out: str, cores: int, shuffle: int) -> dict:
+    # full verify (--verify-sample defaults to 1): the protocol measures
+    # the complete verification pipeline — identical config to round 1.
+    # The sampled mode (--verify-sample k, production option for 10^12-row
+    # runs) was also measured 2026-08-16: it halves N-level wall but makes
+    # the ~55s of fixed per-job overhead dominate the 4N level at this toy
+    # scale (see BENCH/BASELINE.md analysis), which measures the overhead,
+    # not the engine.
     cmd = [sys.executable, os.path.join(REPO, "jobs", "tile_pipeline.py"),
            "--input", inp, "--output", out, "--zmax", "8", "--level", "7",
-           "--decode", "--verify", "--cores", str(cores), "--shuffle-partitions", str(shuffle)]
+           "--decode", "--verify",
+           "--cores", str(cores), "--shuffle-partitions", str(shuffle)]
     c0 = _cpu_ticks()
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=1800)
     c1 = _cpu_ticks()
@@ -69,6 +89,9 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--input", default=None,
                     help="reuse a pre-generated images parquet")
+    ap.add_argument("--keep-input", action="store_true",
+                    help="don't delete the generated input on exit (reuse "
+                         "via --input on the next invocation)")
     ap.add_argument("--warmup", action="store_true",
                     help="extra discarded run per level (each measured run "
                          "is its own JVM, so this only warms the page cache)")
@@ -148,7 +171,14 @@ spark-submit --py-files geopy_spark.zip jobs/tile_pipeline.py \\
   --cores {{2|8}} --shuffle-partitions {{8|32}}
 ```
 """)
-    shutil.rmtree(work, ignore_errors=True)
+    if args.keep_input and not args.input:
+        print(f"kept input at {inp}")
+        for name in os.listdir(work):
+            p = os.path.join(work, name)
+            if p != inp:
+                shutil.rmtree(p, ignore_errors=True)
+    else:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
