@@ -895,6 +895,73 @@ FROM z GROUP BY media_id
 """
 
 
+def q_y4m_frames(spark, sf_dir):
+    """Driver-visible gate for the from-scratch Y4M codec (kernels/y4m:
+    YUV4MPEG2, public spec): Spark synthesizes deterministic grayscale
+    videos, runs the REAL encode→decode cycle with every_k=2 frame
+    sampling, and reduces each kept frame's planes to exact integer
+    sums; the oracle recomputes them from the pixel formula. Grayscale
+    input makes the BT.601 roundtrip exact (luma coefficients sum to 1,
+    the chroma terms cancel to exactly 128 before rint), so header
+    parsing, frame-offset arithmetic, plane layout, the 4:2:0 subsample
+    shape (u_sum = 8*8*128), and the every-k skip logic are all
+    hash-gated with no float-rounding ambiguity; the color matrix
+    itself is PSNR/roundtrip-gated in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from .kernels import y4m as Y
+
+    out_schema = ("media_id bigint, frame_idx bigint, y_sum bigint, "
+                  "u_sum bigint, v_sum bigint, n_frames bigint")
+
+    def _fn(it):
+        for pdf in it:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w = h = 16
+                nf = 6
+                f_idx = np.arange(nf)[:, None, None]
+                yy = np.arange(h)[None, :, None]
+                xx = np.arange(w)[None, None, :]
+                gray = ((11 * m + 17 * f_idx + 3 * yy + 5 * xx) % 256
+                        ).astype(np.uint8)
+                rgb = [np.repeat(g[:, :, None], 3, axis=2) for g in gray]
+                buf = Y.encode_y4m(rgb)
+                planes, meta = Y.decode_y4m(buf, every_k=2)
+                for j, (yp, up, vp) in enumerate(planes):
+                    rows.append((m, 2 * j, int(yp.sum(dtype=np.int64)),
+                                 int(up.sum(dtype=np.int64)),
+                                 int(vp.sum(dtype=np.int64)),
+                                 int(meta["n_frames"])))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "y_sum", "u_sum", "v_sum",
+                                              "n_frames"])
+
+    return (spark.range(4).select(F.col("id").alias("media_id"))
+            .mapInPandas(_fn, out_schema))
+
+
+_SQL_Y4M_FRAMES = """
+WITH ids AS (SELECT unnest(range(4)) AS media_id),
+fr AS (SELECT unnest(range(6)) AS f),
+ys AS (SELECT unnest(range(16)) AS py),
+xs AS (SELECT unnest(range(16)) AS px),
+g AS (SELECT media_id, f,
+             (11 * media_id + 17 * f + 3 * py + 5 * px) % 256 AS val
+      FROM ids CROSS JOIN fr CROSS JOIN ys CROSS JOIN xs)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(sum(val) AS BIGINT) AS y_sum,
+       CAST(8 * 8 * 128 AS BIGINT) AS u_sum,
+       CAST(8 * 8 * 128 AS BIGINT) AS v_sum,
+       CAST(6 AS BIGINT) AS n_frames
+FROM g WHERE f % 2 = 0
+GROUP BY media_id, f
+"""
+
+
 def q_geodesic_check(spark, sf_dir):
     """G12 ellipsoidal path, driver-gated via a bounded-consistency
     contract: the WGS-84 Vincenty distance (pandas-UDF kernel — the
@@ -1431,6 +1498,7 @@ QUERIES = {
     "sample_bernoulli": q_sample_bernoulli,
     "ivf_topk": q_ivf_topk,
     "wav_features": q_wav_features,
+    "y4m_frames": q_y4m_frames,
     "geodesic_check": q_geodesic_check,
     "running_sum": q_running_sum,
     "window_tumbling": q_window_tumbling,
@@ -1485,6 +1553,7 @@ ORACLES = {
     "sample_bernoulli": _SQL_SAMPLE_BERNOULLI,
     "ivf_topk": _sql_ivf_topk(),
     "wav_features": _SQL_WAV_FEATURES,
+    "y4m_frames": _SQL_Y4M_FRAMES,
     "geodesic_check": _sql_geodesic(),
     "running_sum": _SQL_RUNNING,
     "window_tumbling": _SQL_TUMBLING,

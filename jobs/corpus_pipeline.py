@@ -1,0 +1,205 @@
+"""EP-4: the LLM training-corpus pipeline — the text counterpart of EP-3
+(jobs/tile_pipeline.py), chaining the brief's first-class data-pipeline
+operators end-to-end with the same icetab snapshot/resume discipline:
+
+    spark-submit --py-files geopy_spark.zip jobs/corpus_pipeline.py \
+        --input <documents.parquet> --output <icetab dir> [--resume] ...
+
+Stages (each one atomic snapshot; --resume skips committed ones):
+  1. features   — lang-id, quality score, whitespace + BPE token counts,
+                  content fingerprint per doc (pure Column codegen: one
+                  narrow scan, zero UDFs, zero shuffles).
+  2. exact_dups — normalized-fingerprint duplicate groups (one hash agg;
+                  document bodies never shuffle — only the 8-byte fp).
+  3. near_pairs — MinHash+LSH candidate pairs with exact-Jaccard verify
+                  on quality-passing, exact-unique docs (bucketed join,
+                  never all-pairs; bucket-size guard logs drops).
+  4. survivors  — doc_ids kept after quality filter, exact dedup
+                  (min-id canonical per fp group) and near-dup pruning
+                  (min-id rule: every pair (a<b) drops b — keeps the
+                  minimum of each duplicate component, possibly another
+                  local minimum in chain-shaped components; the standard
+                  corpus-dedup approximation, O(1) passes instead of an
+                  iterative connected-components loop).
+  5. stats      — per-language corpus stats over survivors (docs, token
+                  sums, mean quality) — the pipeline's integrity gate:
+                  a pytest compares it against an independently computed
+                  single-pass twin, and kill-resume must reproduce it
+                  byte-identically.
+
+Scale notes (100 TB): stage 1 is a map-only scan; stage 2 shuffles 16
+bytes/doc; stage 3's signature shuffle carries 8B+64×4B per doc and
+re-joins text by id only for verified candidates; stages 4-5 join on
+ids alone. Duplicate-id frames broadcast while small with a size-guarded
+fallback to shuffle joins, so no stage materializes document bodies
+anywhere except the initial scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geopy_spark.functions import text as T  # noqa: E402
+from geopy_spark.operators.dedup import exact_dedup, minhash_lsh_pairs  # noqa: E402
+from geopy_spark.session import get_spark  # noqa: E402
+from geopy_spark.sources.icetab import IceTable  # noqa: E402
+
+# broadcast id-frames only below this row estimate (ids are 8 bytes;
+# 5M rows ≈ 40 MB < the 10x-default autoBroadcastJoinThreshold we run)
+BROADCAST_MAX_IDS = 5_000_000
+
+
+def build_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="icetab output table dir")
+    ap.add_argument("--min-quality", type=float, default=0.35)
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="exact-Jaccard near-dup threshold")
+    ap.add_argument("--num-perm", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--fail-after", default=None,
+                    help="fault injection: kill after committing this stage")
+    return ap.parse_args(argv)
+
+
+def _maybe_bcast(df, n_rows: int):
+    return F.broadcast(df) if n_rows <= BROADCAST_MAX_IDS else df
+
+
+def doc_features(docs):
+    """Stage-1 projection: every column is JVM-side Column algebra."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.lang_id(t).alias("lang"),
+        F.round(T.quality_score(t), 6).alias("quality"),
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+        T.fingerprint(t).alias("fp"),
+    )
+
+
+def run(args, spark=None, stop_session: bool = True) -> dict:
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark("corpus_pipeline", cores=args.cores,
+                          shuffle_partitions=args.shuffle_partitions)
+    t0 = time.monotonic()
+    run_id = uuid.uuid4().hex[:12]
+    table = IceTable(args.output)
+    committed = table.committed_partitions() if args.resume else set()
+    if not args.resume and table.current_version() > 0:
+        raise SystemExit(f"{args.output} already has snapshots; pass --resume")
+
+    params = {"min_quality": args.min_quality, "threshold": args.threshold,
+              "num_perm": args.num_perm, "bands": args.bands,
+              "input": os.path.abspath(args.input), "layout": 1}
+    prev = table.properties()
+    if args.resume and prev and prev.get("params") != params:
+        raise SystemExit(f"--resume parameter mismatch: table was written "
+                         f"with {prev.get('params')}, got {params}")
+    table.set_properties({"params": params})
+
+    docs = spark.read.parquet(args.input)
+    n_docs = docs.count()
+
+    # ---- stage 1: per-doc features (map-only, codegen)
+    if "features" not in committed:
+        out = doc_features(docs).sortWithinPartitions("doc_id")
+        table.commit([table.write_partition(out, "features")], run_id)
+        _maybe_fail(args, "features")
+
+    feats = table.read_partition(spark, "features")
+    qpass = feats.filter(F.col("quality") >= args.min_quality)
+
+    # ---- stage 2: exact duplicate groups on quality-passing docs
+    if "exact_dups" not in committed:
+        qdocs = docs.join(_maybe_bcast(qpass.select("doc_id"), n_docs),
+                          "doc_id", "left_semi")
+        table.commit([table.write_partition(exact_dedup(qdocs), "exact_dups")],
+                     run_id)
+        _maybe_fail(args, "exact_dups")
+
+    dups = table.read_partition(spark, "exact_dups")
+    # members of a fp-group other than the canonical min id
+    exact_drop = (qpass.join(_maybe_bcast(dups, n_docs), "fp")
+                  .filter(F.col("doc_id") != F.col("keep_id"))
+                  .select("doc_id"))
+    exact_unique = qpass.join(_maybe_bcast(exact_drop, n_docs),
+                              "doc_id", "left_anti").select("doc_id")
+
+    # ---- stage 3: near-dup pairs on exact-unique quality docs
+    if "near_pairs" not in committed:
+        nd_in = docs.join(_maybe_bcast(exact_unique, n_docs), "doc_id",
+                          "left_semi")
+        pairs = minhash_lsh_pairs(nd_in, num_perm=args.num_perm,
+                                  bands=args.bands,
+                                  threshold=args.threshold)
+        table.commit([table.write_partition(pairs, "near_pairs")], run_id)
+        _maybe_fail(args, "near_pairs")
+
+    pairs = table.read_partition(spark, "near_pairs")
+    near_drop = pairs.select(F.col("b").alias("doc_id")).distinct()
+
+    # ---- stage 4: surviving doc ids
+    if "survivors" not in committed:
+        surv = (exact_unique.join(_maybe_bcast(near_drop, n_docs),
+                                  "doc_id", "left_anti")
+                .sortWithinPartitions("doc_id"))
+        table.commit([table.write_partition(surv, "survivors")], run_id)
+        _maybe_fail(args, "survivors")
+
+    survivors = table.read_partition(spark, "survivors")
+
+    # ---- stage 5: per-language stats over survivors (the integrity gate)
+    if "stats" not in committed:
+        stats = (feats.join(_maybe_bcast(survivors, n_docs), "doc_id",
+                            "left_semi")
+                 .groupBy("lang")
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("n_tokens").alias("sum_tokens"),
+                      F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
+                      F.round(F.avg("quality"), 6).alias("avg_quality"))
+                 .sortWithinPartitions("lang"))
+        table.commit([table.write_partition(stats, "stats")], run_id)
+        _maybe_fail(args, "stats")
+
+    n_surv = table.read_partition(spark, "survivors").count()
+    wall = time.monotonic() - t0
+    result = {
+        "run_id": run_id,
+        "rows_in": n_docs,
+        "survivors": n_surv,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_docs / wall, 1),
+        "snapshots": table.current_version(),
+        "partitions": len(table.committed_partitions()),
+    }
+    if own_spark and stop_session:
+        spark.stop()
+    return result
+
+
+def _maybe_fail(args, stage: str) -> None:
+    if args.fail_after == stage:
+        print(f"FAULT-INJECT: exiting after committing {stage}", flush=True)
+        os._exit(42)
+
+
+if __name__ == "__main__":
+    print(json.dumps(run(build_args(), stop_session=False)), flush=True)
+    os._exit(0)  # same rationale as tile_pipeline: state is durably committed

@@ -115,6 +115,11 @@ def main() -> None:
     # uncontended, so the ratio measures the engine, not the host.
     levels = [("N=local[2]", 2, 8), ("4N=local[8]", 8, 32)]
     results: dict[str, list[float]] = {}
+    # actual row count comes from the pipeline itself — with --input the
+    # parquet's size wins over the --n-images default (a 900k reuse run
+    # once reported the 600k default in its summary; walls/efficiency
+    # were unaffected but the rows/sec fields were wrong)
+    n_rows = args.n_images
     for label, cores, shuffle in levels:
         if args.warmup:
             run_pipeline(inp, os.path.join(work, f"warm{cores}"), cores, shuffle)
@@ -122,6 +127,7 @@ def main() -> None:
         for k in range(args.runs):
             out = os.path.join(work, f"t{cores}_{k}")
             res = run_pipeline(inp, out, cores, shuffle)
+            n_rows = res["rows_in"]
             walls.append(res["wall_sec"])
             print(f"  {label} run{k}: {res['wall_sec']}s "
                   f"({res['rows_per_sec']} rows/s, user {res['cpu_user_pct']}% "
@@ -133,12 +139,12 @@ def main() -> None:
     t_4n = statistics.median(results["4N=local[8]"])
     eff = (t_n / t_4n) / 4
     summary = {
-        "n_images": args.n_images,
+        "n_images": n_rows,
         "runs": args.runs,
         "median_wall_N_local2_sec": t_n,
         "median_wall_4N_local8_sec": t_4n,
-        "rows_per_sec_N": round(args.n_images / t_n, 1),
-        "rows_per_sec_4N": round(args.n_images / t_4n, 1),
+        "rows_per_sec_N": round(n_rows / t_n, 1),
+        "rows_per_sec_4N": round(n_rows / t_4n, 1),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "all_walls": results,
@@ -151,14 +157,14 @@ def main() -> None:
 ## Scaling run — {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}
 
 Identical EP-3 pipeline (`jobs/tile_pipeline.py --zmax 8 --level 7 --decode --verify`)
-on identical pre-generated input ({args.n_images} synthetic images,
+on identical pre-generated input ({n_rows} synthetic images,
 FIXTURES.md §B), {args.runs} measured runs per level (each run is an independent
 spark-submit JVM), shuffle partitions scaled with cores (8 / 32).
 
 | level | cores | median wall (s) | rows/sec |
 |---|---|---|---|
-| N  (`local[2]`)  | 2  | {t_n} | {round(args.n_images / t_n, 1)} |
-| 4N (`local[8]`)  | 8  | {t_4n} | {round(args.n_images / t_4n, 1)} |
+| N  (`local[2]`)  | 2  | {t_n} | {round(n_rows / t_n, 1)} |
+| 4N (`local[8]`)  | 8  | {t_4n} | {round(n_rows / t_4n, 1)} |
 
 **efficiency = (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8)
 
