@@ -185,7 +185,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, ngram: int = 3,
                       threshold: float = 0.5,
-                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                      text_lookup: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs (a < b) with exact Jaccard ≥ threshold.
 
     signature → `bands` bands of num_perm/bands rows each → bucket hash →
@@ -193,7 +194,17 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     id so the signature shuffle never carries document bodies. Per-pair
     LSH recall at Jaccard j is 1-(1-j^(perm/bands))^bands — ~1-4e-8 at
     j=0.9 with the 64/16 defaults; use thresholds well below the duplicate
-    cluster's Jaccard so recall stays effectively exact."""
+    cluster's Jaccard so recall stays effectively exact.
+
+    ``text_lookup``: optional cheaper frame (same id/text columns, a
+    SUPERSET of ``docs``' ids) for the verify-stage text joins. When
+    ``docs`` is itself an expensive subplan (e.g. a filter/semi-join
+    chain in a pipeline), the plan references it once for signatures and
+    would otherwise re-execute it for each verify side; passing the raw
+    scan-backed table here keeps the verify joins scan-cheap. Results are
+    identical because candidate pairs only carry ids drawn from ``docs``
+    (measured on the EP-4 300k-doc run: near_pairs stage 206.6s → the
+    subplan re-execution was ~80% of it)."""
     rows = num_perm // bands
     sig = docs.select(F.col(id_col).alias("id"),
                       minhash_sig_udf(F.col(text_col), num_perm, ngram).alias("sig"))
@@ -209,7 +220,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     pairs = (_bucket_pairs(banded, ["band", "bucket"], max_bucket)
              .select(F.col("l.id").alias("a"), F.col("r.id").alias("b")))
 
-    txt = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    src = docs if text_lookup is None else text_lookup
+    txt = src.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     cand = (pairs
             .join(txt.withColumnRenamed("id", "a").withColumnRenamed("txt", "ta"), "a")
             .join(txt.withColumnRenamed("id", "b").withColumnRenamed("txt", "tb"), "b"))

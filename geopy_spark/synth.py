@@ -229,3 +229,81 @@ def make_knn_queries_pdf(n: int, seed: int = 77) -> pd.DataFrame:
             lon[q] = rng.uniform(-180, 180)
     return pd.DataFrame({"query_id": np.arange(n, dtype=np.int64),
                          "lat": lat, "lon": lon})
+
+
+# ------------------------------------------------------------------ documents
+
+_SYLLABLES = ["ba", "re", "to", "mi", "san", "dor", "el", "ka", "vin", "tu",
+              "ler", "on", "pra", "gi", "ney", "zo", "mar", "ti", "qua", "hes"]
+
+
+def corpus_vocab(n: int = 1024) -> list:
+    """Deterministic pronounceable vocabulary; word lengths 4-15 chars keep
+    quality_score's mean-token-length band satisfied for sampled text."""
+    words = []
+    for i in range(n):
+        r, w = i + 1, ""
+        for _ in range(2 + (i % 3)):
+            w += _SYLLABLES[r % len(_SYLLABLES)]
+            r //= len(_SYLLABLES) or 1
+            r += 7  # decorrelate successive syllables
+        words.append(w)
+    return words
+
+
+def make_doc_text(doc_id: int, vocab: list) -> str:
+    """Pure function of doc_id: 60-120 words, a period every ~12 words.
+    Planted duplicates (stable, id-derived):
+      doc_id % 23 == 11 -> EXACT text of doc_id-1 (upper-cased first char
+                           kept identical: fingerprint-identical);
+      doc_id % 23 == 12 -> text of doc_id-2 plus a short tail (near-dup,
+                           3-gram Jaccard ~0.9).
+    """
+    m = doc_id % 23
+    if m == 11 and doc_id >= 1:
+        return make_doc_text(doc_id - 1, vocab)
+    if m == 12 and doc_id >= 2:
+        return make_doc_text(doc_id - 2, vocab) + " minor extra tail words"
+    rng = np.random.default_rng(doc_id * 2654435761 % (2**32))
+    n_words = int(60 + rng.integers(0, 61))
+    idx = rng.integers(0, len(vocab), n_words)
+    parts = []
+    for k, wi in enumerate(idx):
+        parts.append(vocab[wi])
+        if k % 12 == 11:
+            parts[-1] += "."
+    return " ".join(parts)
+
+
+def make_documents_pdf(n: int, start: int = 0) -> pd.DataFrame:
+    vocab = corpus_vocab()
+    ids = np.arange(start, start + n, dtype=np.int64)
+    texts = [make_doc_text(int(i), vocab) for i in ids]
+    return pd.DataFrame({
+        "doc_id": ids,
+        "text": texts,
+        "lang": "xx",          # features recompute lang; placeholder column
+        "source": "synth",
+        "n_chars": [len(t) for t in texts],
+    })
+
+
+def write_documents_parquet_spark(spark, path: str, n: int, *,
+                                  partitions: int = 64) -> None:
+    """Distributed deterministic corpus generation with ~4.3% exact and
+    ~4.3% near duplicates planted by id arithmetic (duplicate partners are
+    recomputed from the partner id, so generation stays embarrassingly
+    parallel — no cross-partition reads)."""
+    import pandas as _pd
+
+    def _gen(it):
+        for pdf in it:
+            for s, e in zip(pdf["start"], pdf["end"]):
+                yield make_documents_pdf(int(e - s), start=int(s))
+
+    bounds = [(i * n // partitions, (i + 1) * n // partitions)
+              for i in range(partitions)]
+    src = spark.createDataFrame(_pd.DataFrame(bounds, columns=["start", "end"])) \
+        .repartition(partitions)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src.mapInPandas(_gen, schema).write.mode("overwrite").parquet(path)

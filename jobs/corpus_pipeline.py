@@ -116,12 +116,20 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
 
     docs = spark.read.parquet(args.input)
     n_docs = docs.count()
+    stage_s: dict = {}
+
+    def _timed(stage, fn):
+        s0 = time.monotonic()
+        fn()
+        stage_s[stage] = round(time.monotonic() - s0, 3)
+        _maybe_fail(args, stage)
 
     # ---- stage 1: per-doc features (map-only, codegen)
     if "features" not in committed:
-        out = doc_features(docs).sortWithinPartitions("doc_id")
-        table.commit([table.write_partition(out, "features")], run_id)
-        _maybe_fail(args, "features")
+        _timed("features", lambda: table.commit(
+            [table.write_partition(
+                doc_features(docs).sortWithinPartitions("doc_id"),
+                "features")], run_id))
 
     feats = table.read_partition(spark, "features")
     qpass = feats.filter(F.col("quality") >= args.min_quality)
@@ -130,9 +138,8 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
     if "exact_dups" not in committed:
         qdocs = docs.join(_maybe_bcast(qpass.select("doc_id"), n_docs),
                           "doc_id", "left_semi")
-        table.commit([table.write_partition(exact_dedup(qdocs), "exact_dups")],
-                     run_id)
-        _maybe_fail(args, "exact_dups")
+        _timed("exact_dups", lambda: table.commit(
+            [table.write_partition(exact_dedup(qdocs), "exact_dups")], run_id))
 
     dups = table.read_partition(spark, "exact_dups")
     # members of a fp-group other than the canonical min id
@@ -146,11 +153,15 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
     if "near_pairs" not in committed:
         nd_in = docs.join(_maybe_bcast(exact_unique, n_docs), "doc_id",
                           "left_semi")
+        # text_lookup=docs: verify-stage text joins read the raw parquet
+        # scan instead of re-executing the semi-join chain behind nd_in
+        # (pairs only carry nd_in ids, so results are identical)
         pairs = minhash_lsh_pairs(nd_in, num_perm=args.num_perm,
                                   bands=args.bands,
-                                  threshold=args.threshold)
-        table.commit([table.write_partition(pairs, "near_pairs")], run_id)
-        _maybe_fail(args, "near_pairs")
+                                  threshold=args.threshold,
+                                  text_lookup=docs)
+        _timed("near_pairs", lambda: table.commit(
+            [table.write_partition(pairs, "near_pairs")], run_id))
 
     pairs = table.read_partition(spark, "near_pairs")
     near_drop = pairs.select(F.col("b").alias("doc_id")).distinct()
@@ -160,8 +171,8 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
         surv = (exact_unique.join(_maybe_bcast(near_drop, n_docs),
                                   "doc_id", "left_anti")
                 .sortWithinPartitions("doc_id"))
-        table.commit([table.write_partition(surv, "survivors")], run_id)
-        _maybe_fail(args, "survivors")
+        _timed("survivors", lambda: table.commit(
+            [table.write_partition(surv, "survivors")], run_id))
 
     survivors = table.read_partition(spark, "survivors")
 
@@ -175,8 +186,8 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
                       F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
                       F.round(F.avg("quality"), 6).alias("avg_quality"))
                  .sortWithinPartitions("lang"))
-        table.commit([table.write_partition(stats, "stats")], run_id)
-        _maybe_fail(args, "stats")
+        _timed("stats", lambda: table.commit(
+            [table.write_partition(stats, "stats")], run_id))
 
     n_surv = table.read_partition(spark, "survivors").count()
     wall = time.monotonic() - t0
@@ -188,6 +199,7 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
         "rows_per_sec": round(n_docs / wall, 1),
         "snapshots": table.current_version(),
         "partitions": len(table.committed_partitions()),
+        "stage_sec": stage_s,
     }
     if own_spark and stop_session:
         spark.stop()
