@@ -962,6 +962,47 @@ GROUP BY media_id, f
 """
 
 
+def q_sql_surface(spark, sf_dir):
+    """The engine's SQL surface (sql_ext.install_sql_functions): every
+    function here is a Spark-4 SQL scalar UDF whose RETURN body is
+    GENERATED from the Column implementation (one source of truth), so
+    this query gates (a) that the SQL registration round-trips through
+    Spark's parser, and (b) that the generated bodies stay semantically
+    identical to the DuckDB *_sql twins. Plain spark.sql text — the
+    workflow a SQL-first user of the reference would keep."""
+    from .sql_ext import install_sql_functions
+    install_sql_functions(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_sqlsurf")
+    return spark.sql("""
+        SELECT c_custkey,
+               round(haversine_m(derived_lat(c_custkey), derived_lon(c_custkey),
+                                 0.0, 0.0), 3) AS dist0_m,
+               tile_x(derived_lon(c_custkey), 6) AS tx,
+               tile_y(derived_lat(c_custkey), 6) AS ty,
+               CAST(token_count(c_name) AS BIGINT) AS n_tok,
+               round(quality_score(c_name), 4) AS q,
+               lang_id(c_name) AS lang,
+               doc_fingerprint(c_name) AS fp
+        FROM cust_sqlsurf
+    """)
+
+
+def _sql_sql_surface() -> str:
+    dlat = synth.derived_lat_sql("c_custkey")
+    dlon = synth.derived_lon_sql("c_custkey")
+    return f"""
+SELECT c_custkey,
+       round({geo.haversine_m_sql(dlat, dlon, '0.0', '0.0')}, 3) AS dist0_m,
+       {geo.tile_x_sql(dlon, 6)} AS tx,
+       {geo.tile_y_sql(dlat, 6)} AS ty,
+       CAST({text.token_count_sql('c_name')} AS BIGINT) AS n_tok,
+       round({text.quality_score_sql('c_name')}, 4) AS q,
+       {text.lang_id_sql('c_name')} AS lang,
+       {text.fingerprint_sql('c_name')} AS fp
+FROM customer
+"""
+
+
 def q_geodesic_check(spark, sf_dir):
     """G12 ellipsoidal path, driver-gated via a bounded-consistency
     contract: the WGS-84 Vincenty distance (pandas-UDF kernel — the
@@ -1499,6 +1540,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "wav_features": q_wav_features,
     "y4m_frames": q_y4m_frames,
+    "sql_surface": q_sql_surface,
     "geodesic_check": q_geodesic_check,
     "running_sum": q_running_sum,
     "window_tumbling": q_window_tumbling,
@@ -1554,6 +1596,7 @@ ORACLES = {
     "ivf_topk": _sql_ivf_topk(),
     "wav_features": _SQL_WAV_FEATURES,
     "y4m_frames": _SQL_Y4M_FRAMES,
+    "sql_surface": _sql_sql_surface(),
     "geodesic_check": _sql_geodesic(),
     "running_sum": _SQL_RUNNING,
     "window_tumbling": _SQL_TUMBLING,

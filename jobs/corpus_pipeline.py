@@ -71,6 +71,13 @@ def build_args(argv=None):
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--max-partition-bytes", type=int, default=8 * 1024 * 1024,
+                    help="input split size. The session default (32MB, tuned "
+                         "for image payloads) bin-packs small text files into "
+                         "few UNEVEN partitions — measured 3.2x row skew "
+                         "across 8 tasks pinned the CPU-dense features stage "
+                         "to ~2.9 effective cores at local[8]. Finer splits "
+                         "re-balance WITHOUT shuffling document bodies.")
     ap.add_argument("--fail-after", default=None,
                     help="fault injection: kill after committing this stage")
     return ap.parse_args(argv)
@@ -98,6 +105,10 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
     if own_spark:
         spark = get_spark("corpus_pipeline", cores=args.cores,
                           shuffle_partitions=args.shuffle_partitions)
+    # runtime-settable; scoped to this job's reads (see --max-partition-bytes)
+    mpb = getattr(args, "max_partition_bytes", 8 * 1024 * 1024)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
     t0 = time.monotonic()
     run_id = uuid.uuid4().hex[:12]
     table = IceTable(args.output)

@@ -1,0 +1,95 @@
+"""SQL surface (sql_ext): generated RETURN bodies must agree exactly with
+the Column implementations they were generated from, and registration
+must be idempotent."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geopy_spark.functions import geo
+from geopy_spark.functions import text as T
+from geopy_spark.sql_ext import install_sql_functions
+
+
+@pytest.fixture(scope="module")
+def installed(spark):
+    names = install_sql_functions(spark)
+    install_sql_functions(spark)  # idempotent (OR REPLACE)
+    return set(names)
+
+
+@pytest.fixture(scope="module")
+def probe(spark):
+    pdf = pd.DataFrame({
+        "k": [1, 7, 42, 999, 4242],
+        "lat": [0.0, 45.5, -89.9, 37.7749, -0.0001],
+        "lon": [0.0, -122.4, 179.95, -181.5, 540.0],  # incl. out-of-range
+        "t": ["the quick brown fox, mostly harmless text here",
+              "el rapido zorro marron y la cierta calidad de texto",
+              "!!!???;;;", "", "one-token"],
+    })
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("sqlext_probe")
+    return df
+
+
+def test_sql_functions_match_column_impls(spark, installed, probe):
+    got = spark.sql("""
+        SELECT k,
+               haversine_m(lat, lon, 0.0, 0.0) AS hav,
+               normalize_lon(lon) AS nlon, normalize_lat(lat) AS nlat,
+               tile_x(lon, 7) AS tx, tile_y(lat, 7) AS ty,
+               derived_lat(k) AS dlat, derived_lon(k) AS dlon,
+               token_count(t) AS ntok, bpe_token_count(t) AS nbpe,
+               punct_ratio(t) AS pr, lang_id(t) AS lang,
+               quality_score(t) AS q, doc_fingerprint(t) AS fp
+        FROM sqlext_probe ORDER BY k
+    """).collect()
+    exp = probe.select(
+        "k",
+        geo.haversine_m(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0)).alias("hav"),
+        geo.normalize_lon(F.col("lon")).alias("nlon"),
+        geo.normalize_lat(F.col("lat")).alias("nlat"),
+        geo.tile_x(F.col("lon"), 7).alias("tx"),
+        geo.tile_y(F.col("lat"), 7).alias("ty"),
+        geo.derived_lat(F.col("k")).alias("dlat"),
+        geo.derived_lon(F.col("k")).alias("dlon"),
+        T.token_count(F.col("t")).alias("ntok"),
+        T.bpe_token_count(F.col("t")).alias("nbpe"),
+        T.punct_ratio(F.col("t")).alias("pr"),
+        T.lang_id(F.col("t")).alias("lang"),
+        T.quality_score(F.col("t")).alias("q"),
+        T.fingerprint(F.col("t")).alias("fp"),
+    ).orderBy("k").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_sql_pandas_udfs_cell_encode_geodesic(spark, installed, probe):
+    from geopy_spark.kernels import cells as K
+    from geopy_spark.kernels.geodesy import vincenty_m
+    import numpy as np
+
+    rows = spark.sql("""
+        SELECT k, cell_encode(normalize_lat(lat), normalize_lon(lon), 7) AS c,
+               geodesic_m(normalize_lat(lat), normalize_lon(lon), 0.0, 0.0) AS g
+        FROM sqlext_probe ORDER BY k
+    """).collect()
+    pdf = probe.orderBy("k").toPandas()
+    nlat = pdf["lat"].clip(-90, 90).to_numpy()
+    nlon = ((pdf["lon"] + 180.0) % 360.0) - 180.0
+    exp_c = K.cell_encode(nlat, nlon.to_numpy(), 7)
+    exp_g, _ = vincenty_m(nlat, nlon.to_numpy(),
+                          np.zeros(len(pdf)), np.zeros(len(pdf)))
+    assert [r.c for r in rows] == [int(x) for x in exp_c]
+    assert np.allclose([r.g for r in rows], exp_g, rtol=1e-12, atol=1e-6)
+
+
+def test_sql_udf_inlines_into_codegen_plan(spark, installed, probe):
+    """A SQL scalar UDF is an inlined expression, not a python call: the
+    plan for a haversine over the probe view must contain no
+    ArrowEvalPython/BatchEvalPython node and keep the filter pushable."""
+    df = spark.sql("SELECT k FROM sqlext_probe "
+                   "WHERE haversine_m(lat, lon, 0.0, 0.0) > 1000.0")
+    from geopy_spark.plans.explain import plan_text
+    plan = plan_text(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

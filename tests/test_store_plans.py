@@ -96,3 +96,32 @@ def test_grouped_agg_partial_before_shuffle(spark):
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
     plan = X.plan_text(agg)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_round2_query_plans_disciplined(spark):
+    """Plan discipline for the round-2 relational queries: pruned
+    ReadSchema, pushed filters, and no more exchanges than the operation
+    inherently needs (audited manually via explain('formatted') on
+    2026-08-17; these assertions pin the audited shape)."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+
+    # window_sliding: ts filter pushed to the scan, single agg shuffle
+    ws = qs["window_sliding"](spark, sf)
+    X.assert_pushed_filter(ws, "ts")
+    X.assert_column_pruned(ws, "props")  # events.props never read
+
+    # stats_agg / percentiles / weighted_avg_udaf: one shuffle each
+    for name in ("stats_agg", "percentiles", "weighted_avg_udaf"):
+        df = qs[name](spark, sf)
+        assert X.plan_text(df).count("Exchange hashpartitioning") <= 1, name
+
+    # events_json_v2 (from_json): only event_type+props read
+    ej = qs["events_json_v2"](spark, sf)
+    X.assert_column_pruned(ej, "user_id")
+    X.assert_column_pruned(ej, "value")
+
+    # exact_dedup: partial+final agg (map-side combine of fingerprints)
+    ed = qs["exact_dedup"](spark, sf)
+    assert X.plan_text(ed).count("HashAggregate") >= 2
