@@ -962,6 +962,36 @@ GROUP BY media_id, f
 """
 
 
+def q_stream_join(spark, sf_dir):
+    """S8 batch equivalent: the stream-stream click-attribution join
+    (streaming/events.stream_stream_join) evaluated on the static events
+    table — same operator code path as the streaming run (pytest checks
+    stream==batch via availableNow; this gates the join semantics against
+    DuckDB). Delay bound 4 hours (159 pairs at sf0.01); one row per (view, click) pair."""
+    from .streaming.events import stream_stream_join
+    e = load_table(spark, sf_dir, "events")
+    out = stream_stream_join(e.filter(F.col("event_type") == "view"),
+                             e.filter(F.col("event_type") == "click"),
+                             max_delay_s=14400)
+    return out.select(
+        "view_id", "click_id", "user_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts"))
+        .cast("long").alias("delay_s"),
+        F.round("click_value", 3).alias("click_value_r"))
+
+
+_SQL_STREAM_JOIN = """
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       v.user_id AS user_id,
+       CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS delay_s,
+       round(CAST(c.value AS DOUBLE), 3) AS click_value_r
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 14400 SECOND
+"""
+
+
 def q_sql_surface(spark, sf_dir):
     """The engine's SQL surface (sql_ext.install_sql_functions): every
     function here is a Spark-4 SQL scalar UDF whose RETURN body is
@@ -1541,6 +1571,7 @@ QUERIES = {
     "wav_features": q_wav_features,
     "y4m_frames": q_y4m_frames,
     "sql_surface": q_sql_surface,
+    "stream_join": q_stream_join,
     "geodesic_check": q_geodesic_check,
     "running_sum": q_running_sum,
     "window_tumbling": q_window_tumbling,
@@ -1597,6 +1628,7 @@ ORACLES = {
     "wav_features": _SQL_WAV_FEATURES,
     "y4m_frames": _SQL_Y4M_FRAMES,
     "sql_surface": _sql_sql_surface(),
+    "stream_join": _SQL_STREAM_JOIN,
     "geodesic_check": _sql_geodesic(),
     "running_sum": _SQL_RUNNING,
     "window_tumbling": _SQL_TUMBLING,

@@ -55,6 +55,35 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes",
                     F.col("sw.end").alias("sess_end"), "user_id", "n_events"))
 
 
+def stream_stream_join(views: DataFrame, clicks: DataFrame,
+                       watermark: str = "30 minutes",
+                       max_delay_s: int = 600) -> DataFrame:
+    """S8 (stream-stream INNER join — click attribution): each click joins
+    the same user's views with ``view_ts <= click_ts <= view_ts +
+    max_delay``. BOTH sides carry watermarks and the join condition bounds
+    the event-time range — the two requirements that let Spark evict join
+    state (kept rows ≤ watermark + range bound) so the join survives
+    unbounded input. Works identically on static frames (the batch twin
+    `stream_join` in entry_queries is DuckDB-oracle-checked; the streaming
+    path is pytest-checked stream==batch via availableNow)."""
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("view_ts")))
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("value").alias("click_value")))
+    cond = ((F.col("v_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts")
+               <= F.col("view_ts") + F.expr(f"INTERVAL {int(max_delay_s)} SECONDS")))
+    return (v.join(c, cond, "inner")
+            .select("view_id", "click_id", F.col("v_user").alias("user_id"),
+                    "view_ts", "click_ts", "click_value"))
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """S5: stateful exactly-once dedup on event_id within the watermark."""
     return stream.withWatermark("ts", watermark) \

@@ -151,3 +151,28 @@ def test_spatial_join_salted_smj_path_matches_broadcast(spark):
                                     level=6, broadcast_regions=False,
                                     hot_min_count=5).collect()))
     assert a == b
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, src_dir):
+    """S8: the watermarked stream-stream join drained with availableNow
+    must emit exactly the pairs the same operator produces on the static
+    frame (inner join — no watermark-holdback asymmetry for emitted rows;
+    rows near the stream end may be retained, hence subset + coverage)."""
+    stream = S.stream_source(spark, src_dir)
+    out = S.stream_stream_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        watermark="2 hours", max_delay_s=14400)
+    assert out.isStreaming
+    sink, ckpt = str(tmp_path / "ssj_sink"), str(tmp_path / "ssj_ckpt")
+    S.run_available_now(out, ckpt, sink)
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    batch = S.stream_stream_join(e.filter(F.col("event_type") == "view"),
+                                 e.filter(F.col("event_type") == "click"),
+                                 max_delay_s=14400)
+    b = {tuple(r) for r in batch.collect()}
+    assert got <= b
+    assert len(got) >= 0.7 * len(b)
+    assert len(b) > 0
