@@ -57,3 +57,13 @@ def assert_column_pruned(df: DataFrame, column: str) -> None:
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     if any(column in ln for ln in read):
         raise AssertionError(f"column {column!r} not pruned from scan: {read}")
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Number of SHUFFLE exchanges (hash-partitioning) in the plan.
+    Formatted mode labels the tree node bare 'Exchange' and puts the
+    partitioning in the detail block ('Arguments: hashpartitioning(...)'),
+    so counting the phrase 'Exchange hashpartitioning' (simple-mode form)
+    silently counts 0 — this helper counts the detail form. Broadcast
+    and round-robin exchanges are not counted."""
+    return plan_text(df).count("Arguments: hashpartitioning")
