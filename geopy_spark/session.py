@@ -62,6 +62,11 @@ def get_spark(app: str = "geopy_spark", cores: int | None = None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores)}g"))
         .config("spark.ui.enabled", "false")
+        # saveAsTable (bucketed tables) must never drop files into the
+        # repo tree; explicit LOCATION databases override this anyway
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/geopy_spark_warehouse"))
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
