@@ -992,6 +992,56 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_connected_components(spark, sf_dir):
+    """Iterative DataFrame computation (the surface class knn shares):
+    exact connected components via hash-min label propagation
+    (operators/graph) over a deterministic star+chain graph derived from
+    customer keys — stars of 10 keys around each decade base, chain
+    edges merging runs of decades (every third run broken). The oracle
+    recomputes the same components with a DuckDB RECURSIVE CTE
+    (transitive min-label closure), so component ids, sizes and node
+    checksums are all hash-gated. This is the exact upgrade of EP-4's
+    min-id survivor rule: component = min id of the WHOLE cluster."""
+    from .operators.graph import connected_components
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    star = (c.filter(F.col("k") % 10 != 0)
+            .select(F.col("k").alias("a"),
+                    (F.col("k") - F.col("k") % 10).alias("b")))
+    chain = (c.filter((F.col("k") % 10 == 0)
+                      & ((F.col("k") / 10).cast("long") % 3 != 0))
+             .select(F.col("k").alias("a"), (F.col("k") + 10).alias("b")))
+    chain = chain.join(c.select(F.col("k").alias("b")), "b", "left_semi")
+    comp = connected_components(star.unionByName(chain))
+    return (comp.groupBy("component")
+            .agg(F.count("*").alias("n_nodes"),
+                 F.sum("node").alias("sum_nodes"))
+            .select(F.col("component").cast("long").alias("component"),
+                    F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.col("sum_nodes").cast("long").alias("sum_nodes")))
+
+
+_SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE
+ks AS (SELECT c_custkey AS k FROM customer),
+star AS (SELECT k AS a, k - (k % 10) AS b FROM ks WHERE k % 10 <> 0),
+chain AS (SELECT o.k AS a, o.k + 10 AS b FROM ks o
+          WHERE o.k % 10 = 0 AND CAST(o.k / 10 AS BIGINT) % 3 <> 0
+            AND EXISTS (SELECT 1 FROM ks k2 WHERE k2.k = o.k + 10)),
+edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star
+          UNION SELECT a, b FROM chain UNION SELECT b, a FROM chain),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_nodes
+FROM cc GROUP BY component
+"""
+
+
 def q_sql_surface(spark, sf_dir):
     """The engine's SQL surface (sql_ext.install_sql_functions): every
     function here is a Spark-4 SQL scalar UDF whose RETURN body is
@@ -1572,6 +1622,7 @@ QUERIES = {
     "y4m_frames": q_y4m_frames,
     "sql_surface": q_sql_surface,
     "stream_join": q_stream_join,
+    "connected_components": q_connected_components,
     "geodesic_check": q_geodesic_check,
     "running_sum": q_running_sum,
     "window_tumbling": q_window_tumbling,
@@ -1629,6 +1680,7 @@ ORACLES = {
     "y4m_frames": _SQL_Y4M_FRAMES,
     "sql_surface": _sql_sql_surface(),
     "stream_join": _SQL_STREAM_JOIN,
+    "connected_components": _SQL_CONNECTED_COMPONENTS,
     "geodesic_check": _sql_geodesic(),
     "running_sum": _SQL_RUNNING,
     "window_tumbling": _SQL_TUMBLING,

@@ -1,0 +1,58 @@
+"""connected_components (operators/graph): exact equivalence with a
+python union-find on random graphs, chain convergence, and the fixpoint
+guard."""
+
+import numpy as np
+import pytest
+
+from geopy_spark.operators.graph import connected_components
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id per component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 200, 150), (2, 500, 700)])
+def test_cc_matches_union_find_random(spark, seed, n_nodes, n_edges):
+    rng = np.random.default_rng(seed)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, n_nodes, (n_edges, 2)) if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    nodes = sorted({x for e in edges for x in e})
+    exp = _union_find(edges, nodes)
+    assert got == exp
+
+
+def test_cc_long_chain_converges(spark):
+    """A path graph is hash-min's worst case (diameter rounds); a chain
+    of 30 must still resolve to a single component within the cap."""
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = connected_components(df, max_iter=40).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == 31
+
+
+def test_cc_fixpoint_guard_raises(spark):
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=2)
