@@ -78,6 +78,9 @@ def build_args(argv=None):
                          "across 8 tasks pinned the CPU-dense features stage "
                          "to ~2.9 effective cores at local[8]. Finer splits "
                          "re-balance WITHOUT shuffling document bodies.")
+    ap.add_argument("--exact-components", action="store_true",
+                    help="near-dup pruning by exact connected components "
+                         "(operators/graph) instead of the min-id pair rule")
     ap.add_argument("--fail-after", default=None,
                     help="fault injection: kill after committing this stage")
     return ap.parse_args(argv)
@@ -118,6 +121,7 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
 
     params = {"min_quality": args.min_quality, "threshold": args.threshold,
               "num_perm": args.num_perm, "bands": args.bands,
+              "exact_components": bool(getattr(args, "exact_components", False)),
               "input": os.path.abspath(args.input), "layout": 1}
     prev = table.properties()
     if args.resume and prev and prev.get("params") != params:
@@ -175,7 +179,19 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
             [table.write_partition(pairs, "near_pairs")], run_id))
 
     pairs = table.read_partition(spark, "near_pairs")
-    near_drop = pairs.select(F.col("b").alias("doc_id")).distinct()
+    if getattr(args, "exact_components", False):
+        # exact semantics: component = min doc_id of the WHOLE duplicate
+        # cluster (operators/graph, iterative hash-min); drop everything
+        # that is not its component's representative
+        from geopy_spark.operators.graph import connected_components
+        comp = connected_components(pairs)
+        near_drop = (comp.filter(F.col("node") != F.col("component"))
+                     .select(F.col("node").alias("doc_id")))
+    else:
+        # min-id rule: every pair (a<b) drops b — keeps each component's
+        # minimum plus possibly other local minima in chain-shaped
+        # components; --exact-components upgrades to true CC
+        near_drop = pairs.select(F.col("b").alias("doc_id")).distinct()
 
     # ---- stage 4: surviving doc ids
     if "survivors" not in committed:

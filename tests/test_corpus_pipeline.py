@@ -118,3 +118,18 @@ def test_kill_resume_byte_identical(spark, golden, docs_path, tmp_path):
 def test_refuses_accidental_overwrite(golden, docs_path):
     out, _ = golden
     assert _run_pipeline(docs_path, out, []).returncode != 0
+
+
+def test_exact_components_flag_agrees_on_pair_fixture(spark, golden,
+                                                      docs_path, tmp_path):
+    """--exact-components equals the min-id rule whenever duplicate
+    clusters are plain pairs (this fixture); chain-shaped divergence is
+    covered by tests/test_graph.py. Also pins the param-drift guard:
+    resuming a min-id table with the flag flipped must refuse."""
+    out = str(tmp_path / "exact")
+    r = _run_pipeline(docs_path, out, ["--exact-components"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    exact_surv = {row[0] for row in _table_state(spark, out)["survivors"]}
+    assert exact_surv == {row[0] for row in golden[1]["survivors"]}
+    r2 = _run_pipeline(docs_path, golden[0], ["--exact-components", "--resume"])
+    assert r2.returncode != 0 and "mismatch" in (r2.stdout + r2.stderr)
