@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twins; rows-only ops are intentionally
-    absent (minhash/simhash/embedding near-dup, ANN — pytest covers them
-    against brute force)."""
+    """DuckDB-runnable ANSI-SQL twins — one for EVERY entry in
+    ``queries()`` (no rows-only ops; the near-dup/ANN family included
+    since round 2)."""
     return dict(ORACLES)

@@ -32,6 +32,12 @@ def _expr_sql(spark: SparkSession, args_decl: str, col: Column) -> str:
                       (a.strip().split() for a in args_decl.split(",")))
     probe = spark.sql(f"SELECT {casts}")
     sel = probe.select(col.alias("__body"))
+    if not hasattr(sel, "_jdf"):  # Spark Connect: no py4j plan access
+        raise RuntimeError(
+            "install_sql_functions needs a classic (py4j) SparkSession to "
+            "render Column bodies as SQL; Spark Connect sessions are not "
+            "supported — run the generated CREATE FUNCTION statements from "
+            "a classic session once and reuse them")
     alias = sel._jdf.queryExecution().analyzed().expressions().apply(0)
     return alias.child().sql()
 
@@ -96,8 +102,17 @@ def install_sql_functions(spark: SparkSession) -> list:
 
     @F.pandas_udf("long", PandasUDFType.SCALAR)
     def _cell_encode(la: pd.Series, lo: pd.Series, level: pd.Series) -> pd.Series:
-        lv = int(level.iloc[0]) if len(level) else 0
-        return pd.Series(K.cell_encode(la.to_numpy(), lo.to_numpy(), lv))
+        # level is a full series (usually a constant literal, but the SQL
+        # surface must honour per-row levels): one vectorized kernel call
+        # per distinct level in the batch
+        import numpy as np
+        la_np, lo_np = la.to_numpy(), lo.to_numpy()
+        lv_np = level.to_numpy()
+        out = np.empty(len(la_np), dtype=np.int64)
+        for lv in np.unique(lv_np):
+            m = lv_np == lv
+            out[m] = K.cell_encode(la_np[m], lo_np[m], int(lv))
+        return pd.Series(out)
 
     @F.pandas_udf("double", PandasUDFType.SCALAR)
     def _geodesic(a: pd.Series, b: pd.Series, c: pd.Series,

@@ -84,6 +84,27 @@ def test_sql_pandas_udfs_cell_encode_geodesic(spark, installed, probe):
     assert np.allclose([r.g for r in rows], exp_g, rtol=1e-12, atol=1e-6)
 
 
+def test_sql_cell_encode_per_row_level(spark, installed, probe):
+    """cell_encode must honour a NON-constant level column (the round-2
+    registration read level from only the first row of each Arrow batch,
+    silently mis-encoding mixed-level batches — ADVICE r2)."""
+    from geopy_spark.kernels import cells as K
+
+    rows = spark.sql("""
+        SELECT k, CAST(3 + k % 5 AS INT) AS lv,
+               cell_encode(normalize_lat(lat), normalize_lon(lon),
+                           CAST(3 + k % 5 AS INT)) AS c
+        FROM sqlext_probe ORDER BY k
+    """).collect()
+    pdf = probe.orderBy("k").toPandas()
+    nlat = pdf["lat"].clip(-90, 90).to_numpy()
+    nlon = (((pdf["lon"] + 180.0) % 360.0) - 180.0).to_numpy()
+    for r, la, lo in zip(rows, nlat, nlon):
+        import numpy as np
+        exp = K.cell_encode(np.array([la]), np.array([lo]), int(r.lv))[0]
+        assert r.c == int(exp), (r.k, r.lv)
+
+
 def test_sql_udf_inlines_into_codegen_plan(spark, installed, probe):
     """A SQL scalar UDF is an inlined expression, not a python call: the
     plan for a haversine over the probe view must contain no

@@ -107,8 +107,9 @@ def test_round2_query_plans_disciplined(spark):
     qs = E.queries()
     sf = "/root/testdata/sf0.001"
 
-    # window_sliding: ts filter pushed to the scan, single agg shuffle
-    ws = qs["window_sliding"](spark, sf)
+    # windowed_aggs (tumbling+sliding union): ts filter pushed to the
+    # scans, events.props never read in either branch
+    ws = qs["windowed_aggs"](spark, sf)
     X.assert_pushed_filter(ws, "ts")
     X.assert_column_pruned(ws, "props")  # events.props never read
 
@@ -118,8 +119,9 @@ def test_round2_query_plans_disciplined(spark):
         n = X.count_shuffle_exchanges(df)
         assert 1 <= n <= 1, (name, n)  # exactly the one agg shuffle
 
-    # events_json_v2 (from_json): only event_type+props read
-    ej = qs["events_json_v2"](spark, sf)
+    # events_json (from_json + json-path + regex paths): only
+    # event_type+props read
+    ej = qs["events_json"](spark, sf)
     X.assert_column_pruned(ej, "user_id")
     X.assert_column_pruned(ej, "value")
 
