@@ -29,13 +29,15 @@ def _union_find(edges, nodes):
     return {n: min(members) for r, members in comp.items() for n in members}
 
 
+@pytest.mark.parametrize("algorithm", ["star", "hashmin"])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 200, 150), (2, 500, 700)])
-def test_cc_matches_union_find_random(spark, seed, n_nodes, n_edges):
+def test_cc_matches_union_find_random(spark, algorithm, seed, n_nodes, n_edges):
     rng = np.random.default_rng(seed)
     edges = [(int(a), int(b)) for a, b in
              rng.integers(0, n_nodes, (n_edges, 2)) if a != b]
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {r.node: r.component
+           for r in connected_components(df, algorithm=algorithm).collect()}
     nodes = sorted({x for e in edges for x in e})
     exp = _union_find(edges, nodes)
     assert got == exp
@@ -46,13 +48,39 @@ def test_cc_long_chain_converges(spark):
     of 30 must still resolve to a single component within the cap."""
     edges = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(edges, "a long, b long")
-    out = connected_components(df, max_iter=40).collect()
+    out = connected_components(df, algorithm="hashmin", max_iter=40).collect()
     assert {r.component for r in out} == {0}
     assert len(out) == 31
+
+
+def test_cc_star_1000_node_path(spark):
+    """VERDICT r2 #4: the default (star) algorithm must resolve a
+    1000-node path graph — diameter 999, hash-min's impossible case at
+    max_iter=30 — in O(log n) rounds."""
+    edges = [(i, i + 1) for i in range(999)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = connected_components(df, max_iter=20).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == 1000
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches per-round truncation to RELIABLE
+    checkpoint() files under the given dir (executor-loss-safe on a real
+    cluster); results are identical and files actually land there."""
+    import os
+    edges = [(i, i + 1) for i in range(50)] + [(200, 201), (201, 202)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {r.node: r.component
+           for r in connected_components(df, checkpoint_dir=ckdir).collect()}
+    exp = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == exp
+    assert any(files for _, _, files in os.walk(ckdir))
 
 
 def test_cc_fixpoint_guard_raises(spark):
     edges = [(i, i + 1) for i in range(12)]
     df = spark.createDataFrame(edges, "a long, b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(df, max_iter=2)
+        connected_components(df, algorithm="hashmin", max_iter=2)
