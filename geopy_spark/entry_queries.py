@@ -1123,22 +1123,50 @@ FROM pts p1 JOIN pts p2 ON p1.pid < p2.pid
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN over the embeddings table (the second ANN scale path next
     to banded LSH — see operators/similarity.ivf_topk for the 100 TB
-    shape). Deterministic end-to-end (shared centroid literals, ties by
-    id), so the oracle recomputes the identical index+probe+rerank
-    pipeline in SQL."""
+    shape). The coarse quantizer is TRAINED (round-3: deterministic
+    spherical k-means on the lowest-256-id sample, collected via a
+    TakeOrdered top-k) instead of seeded-random; the whole pipeline stays
+    deterministic end-to-end (fixed sample → fixed Lloyd's → 4-decimal
+    shared-constant centroids, ties by id), so the oracle recomputes the
+    identical index+probe+rerank pipeline in SQL from the SAME trained
+    literals (its generator replays the training on a pyarrow read of the
+    same rows — bit-identical float64 input, bit-identical numpy ops)."""
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id",
                     F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+    cents = similarity.train_centroids(base, 16, 11, id_col="vec_id",
+                                       vec_col="v", sample_n=256)
     qs = (base.filter(F.col("vec_id") < 8)
           .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
     out = similarity.ivf_topk(base, qs, k=5, vec_col="v", qvec_col="qv",
-                              n_centroids=16, nprobe=2, seed=11)
+                              n_centroids=16, nprobe=2, seed=11,
+                              centroids=cents)
     return out.select("query_id", "vec_id", "cosine_r",
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _ivf_oracle_centroids(sf_dir: str = "/root/testdata/sf0.01"):
+    """Replay q_ivf_topk's centroid training for the oracle generator:
+    same lowest-256-id sample (pyarrow read of the sf0.01 table the
+    driver compares at), same seeded Lloyd's. Falls back to the untrained
+    seeded-random centroids when the testdata is unreachable (keeps
+    module import safe in data-less environments; the gate never runs
+    there)."""
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        pdf = t.to_pandas().sort_values("vec_id").head(256)
+        sample = np.asarray([np.asarray(v, dtype=np.float64)
+                             for v in pdf["embedding"]])
+        return similarity.kmeans_centroids(sample, 16, 11)
+    except Exception:
+        return similarity.ivf_centroids(16, 64, 11)
+
+
 def _sql_ivf_topk() -> str:
-    cents = similarity.ivf_centroids(16, 64, 11)
+    cents = _ivf_oracle_centroids()
     values = ",\n".join(
         f"({cid}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
         for cid, c in enumerate(cents))

@@ -89,10 +89,70 @@ def ivf_centroids(n_centroids: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic coarse-quantizer centroids, rounded to 4 decimals so
     the identical decimal literals parse to the identical doubles in both
     Spark and the DuckDB oracle (shared-constant protocol, like
-    synth.derived_*)."""
+    synth.derived_*). UNTRAINED (seeded-random): the fallback when no
+    training sample is available — kmeans_centroids gives the trained
+    quantizer a real deployment wants."""
     rng = np.random.default_rng(seed)
     return [[float(x) for x in row]
             for row in rng.standard_normal((n_centroids, dim)).round(4)]
+
+
+def kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int,
+                     n_iter: int = 15) -> list[list[float]]:
+    """Spherical k-means (Lloyd's) on a training sample — deterministic
+    end-to-end: seeded init (k distinct sample rows), cosine assignment
+    (argmax dot over unit-normalized rows), FIXED iteration count (no
+    data-dependent early exit), empty clusters keep their previous
+    centroid, and the result rounds to 4 decimals so both engines parse
+    identical literals (shared-constant protocol).
+
+    100 TB shape: training runs driver-side on a small deterministic
+    sample (callers take the lowest-N ids via a TakeOrdered top-k — one
+    narrow pass, no shuffle of the full table); the trained centroids
+    then broadcast into the scan-fused assignment expression exactly like
+    the untrained ones.
+    """
+    x = np.asarray(sample, dtype=np.float64)
+    if len(x) < n_centroids:
+        raise ValueError(f"sample of {len(x)} rows cannot seed "
+                         f"{n_centroids} centroids")
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # farthest-first (maximin) init: seeded first pick, then each next
+    # centroid is the sample row farthest (cosine distance) from every
+    # already-chosen one — deterministic (argmax tie → lowest index) and,
+    # unlike k random rows, never seeds two centroids inside one tight
+    # cluster while leaving another cluster uncovered
+    rng = np.random.default_rng(seed)
+    chosen = [int(rng.integers(len(xn)))]
+    d = 1.0 - xn @ xn[chosen[0]]
+    for _ in range(n_centroids - 1):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - xn @ xn[nxt])
+    cents = xn[chosen].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(xn @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    cents[c] = m / norm
+    return [[float(v) for v in row] for row in cents.round(4)]
+
+
+def train_centroids(emb: DataFrame, n_centroids: int, seed: int, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_n: int = 256, n_iter: int = 15) -> list[list[float]]:
+    """Deterministic training sample + spherical k-means: the sample is
+    the ``sample_n`` LOWEST ids (Spark plans orderBy+limit as a
+    TakeOrdered top-k — per-partition heads, no global sort shuffle), so
+    any engine reading the same table derives the same centroids."""
+    rows = (emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .orderBy("i").limit(sample_n).collect())
+    sample = np.asarray([list(r.v) for r in rows], dtype=np.float64)
+    return kmeans_centroids(sample, n_centroids, seed, n_iter=n_iter)
 
 
 def _centroid_structs(vec: Column, cents: list[list[float]]) -> Column:
@@ -124,13 +184,14 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "query_id", qvec_col: str = "embedding",
              n_centroids: int = 16, nprobe: int = 2,
-             seed: int = 11, dim: int = 64) -> DataFrame:
+             seed: int = 11, dim: int = 64,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: the second scale path next to banded LSH.
 
     Data vectors are partitioned into ``n_centroids`` Voronoi cells of a
-    fixed coarse quantizer (here deterministic random centroids; a real
-    deployment would k-means them — the index structure and query plan are
-    identical). A query probes its ``nprobe`` nearest cells and reranks
+    fixed coarse quantizer — pass ``centroids`` (typically
+    ``train_centroids``'s deterministic spherical k-means) or fall back
+    to seeded-random ones. A query probes its ``nprobe`` nearest cells and reranks
     only those cells' vectors exactly. 100 TB shape: cell assignment is a
     shuffle-free narrow map; the candidate join is an equi-join on cid
     with the tiny probe side broadcast; per-query cost is nprobe/n_cells
@@ -138,7 +199,8 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int, *,
     pipeline is deterministic (fixed centroids, ties by id), so the DuckDB
     oracle recomputes it end-to-end — recall vs brute force is checked
     separately in pytest on planted fixtures."""
-    cents = ivf_centroids(n_centroids, dim, seed)
+    cents = centroids if centroids is not None else ivf_centroids(
+        n_centroids, dim, seed)
     data = emb.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("dv"),
                       ivf_assign(F.col(vec_col), cents).alias("cid"))
