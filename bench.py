@@ -86,6 +86,51 @@ BENCH = {
 }
 
 
+def skew_experiment(spark, sf_dir) -> dict:
+    """G10 measured evidence (VERDICT r2 #7): the explicitly-salted
+    cell join vs the plain shuffle join, on a city-hotspot distribution
+    (30% of all points collapsed onto 3 cells, each hotspot placed at a
+    polygon-bbox center so the hot pairs do real PIP work) AND on the
+    uniform distribution (where salting must tie). Reported separately
+    from the headline queries to keep round-over-round comparability.
+    `plain` disables the hot-cell pre-pass via an unreachable
+    hot_min_count (same code path, zero salted keys); AQE stays on in
+    both (it is the engine's documented second layer)."""
+    import statistics
+    ppdf = synth.polygons_pdf(synth.oracle_polygons(48, seed=7))
+    regions = spark.createDataFrame(ppdf, schema=_REGIONS_SCHEMA)
+    centers = [(float((r.lat_min + r.lat_max) / 2),
+                float((r.lon_min + r.lon_max) / 2))
+               for r in ppdf.head(3).itertuples(index=False)]
+
+    uniform = lineitem_points(spark, sf_dir)
+    hot = F.pmod(F.col("point_id"), F.lit(10))
+    lat = F.col("lat")
+    lon = F.col("lon")
+    for i, (cla, clo) in enumerate(centers):
+        lat = F.when(hot == i, F.lit(cla)).otherwise(lat)
+        lon = F.when(hot == i, F.lit(clo)).otherwise(lon)
+    skewed = uniform.select("point_id", lat.alias("lat"), lon.alias("lon"))
+
+    out: dict[str, dict] = {}
+    for dist, pts in (("skew", skewed), ("uniform", uniform)):
+        for mode in ("plain", "salted"):
+            kw = dict(point_id="point_id", level=7, broadcast_regions=False)
+            if mode == "plain":
+                kw["hot_min_count"] = 1 << 60  # pre-pass finds nothing
+            run = lambda: spatial_join(pts, regions, **kw).count()  # noqa: E731
+            n = run()  # warm pass
+            runs = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                run()
+                runs.append(round(time.monotonic() - t0, 3))
+            out[f"{dist}_{mode}"] = {
+                "median_sec": round(statistics.median(runs), 3),
+                "runs": runs, "rows": n}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -104,14 +149,15 @@ def main() -> None:
     warm.join(F.broadcast(spark.range(10)), "id", "left_semi").count()
     load_table(spark, sf_dir, "lineitem").count()
 
-    # Each query runs three times: the first (cold) pass warms that query's
+    # Each query runs four times: the first (cold) pass warms that query's
     # python-worker code paths (kernel imports, scratch-buffer page faults —
     # first-touch allocation on this host measures ~25 MB/s — shuffle-file
-    # creation, JIT); the reported time is the MIN of the two warm passes.
-    # This host is a shared VM with documented 3x wall-clock variance between
-    # identical runs (BENCH/BASELINE.md), so a single warm sample can be 4x
-    # off; min-of-warm is the steady-state number that transfers to a
-    # long-running 100 TB job. All passes stay visible in the JSON.
+    # creation, JIT); the reported time is the MEDIAN of the three warm
+    # passes (ADVICE r2: min-of-warm was a lucky-run-biased estimator on a
+    # shared VM with documented 3x wall-clock variance between identical
+    # runs — the median matches the BENCH/BASELINE.md shared-host
+    # protocol). All passes stay visible in the JSON.
+    import statistics
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm_all: dict[str, list[float]] = {}
@@ -121,11 +167,13 @@ def main() -> None:
         counts[name] = fn(spark, sf_dir)
         cold[name] = round(time.monotonic() - t0, 3)
         warm_all[name] = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             counts[name] = fn(spark, sf_dir)
             warm_all[name].append(round(time.monotonic() - t0, 3))
-        times[name] = min(warm_all[name])
+        times[name] = round(statistics.median(warm_all[name]), 3)
+
+    skew = skew_experiment(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     n_pts = load_table(spark, sf_dir, "lineitem").count()
@@ -134,10 +182,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "warm_stat": "median_of_3",
         "cold_first_run": cold,
         "warm_runs": warm_all,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "counts": counts,
+        "skew_experiment": skew,
         "spatial_rows_per_sec": round(n_pts / max(times["spatial_join"], 1e-9), 1),
         "cores": cores,
     }))

@@ -125,7 +125,12 @@ def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg",
     10^12-row design point they run on a deterministic 1-in-k sample
     (FNV(image_id) % k == 0); the sampled count is REPORTED as
     ``n_roundtrip`` — never a silent cap. Default 1 = full coverage."""
-    cols = ["image_id", "bytes", "fmt", "w", "h", "phash", "caption"]
+    cols = ["bytes", "fmt", "w", "h", "phash", "caption"]
+    k = max(int(roundtrip_sample), 1)
+    # image_id is only needed for the digest join and the sampling hash —
+    # don't require it of callers who use neither (ADVICE r2)
+    if digests is not None or k > 1:
+        cols.insert(0, "image_id")
     if digests is not None:
         df = df.join(digests, "image_id", "left")
         cap_ok = (F.col("caption_sha").isNotNull()
@@ -135,7 +140,6 @@ def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg",
         cap_ok = F.col("caption").isNotNull()
     df = df.withColumn("_cap_ok", cap_ok)
     cols.append("_cap_ok")
-    k = max(int(roundtrip_sample), 1)
 
     def _f(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..operators.multimodal import hash_32
@@ -157,8 +161,11 @@ def verify_payload_invariants(df: DataFrame, lossy_fmt: str = "qjpg",
                 ll = C.decode(C.encode(img, lossless_fmt), lossless_fmt,
                               int(r.w), int(r.h))
                 ll_bad += not np.array_equal(ll, img)
+            # a batch whose sample hit zero rows has no roundtrip
+            # evidence: report null, not +inf (ADVICE r2)
             yield pd.DataFrame(
-                [(n, n_rt, min_psnr, psnr_bad, phash_bad, cap_bad, ll_bad)],
+                [(n, n_rt, min_psnr if n_rt else None,
+                  psnr_bad, phash_bad, cap_bad, ll_bad)],
                 columns=[f.name for f in VERIFY_SCHEMA.fields])
     return df.select(*cols).mapInPandas(_f, VERIFY_SCHEMA)
 

@@ -13,6 +13,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _user() -> str:
+    try:
+        import getpass
+        return getpass.getuser()
+    except Exception:
+        return f"uid{os.getuid()}"
+
+
 def get_spark(app: str = "geopy_spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cores is None:
@@ -63,10 +71,12 @@ def get_spark(app: str = "geopy_spark", cores: int | None = None,
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores)}g"))
         .config("spark.ui.enabled", "false")
         # saveAsTable (bucketed tables) must never drop files into the
-        # repo tree; explicit LOCATION databases override this anyway
+        # repo tree; per-user default because a fixed shared /tmp path
+        # collides across concurrent users on a multi-tenant host
+        # (ADVICE r2) — explicit LOCATION databases override this anyway
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
-                               "/tmp/geopy_spark_warehouse"))
+                               f"/tmp/geopy_spark_warehouse_{_user()}"))
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

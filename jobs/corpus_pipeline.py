@@ -51,7 +51,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from geopy_spark.functions import text as T  # noqa: E402
 from geopy_spark.operators.dedup import exact_dedup, minhash_lsh_pairs  # noqa: E402
 from geopy_spark.session import get_spark  # noqa: E402
-from geopy_spark.sources.icetab import IceTable  # noqa: E402
+from geopy_spark.sources.tableio import open_table  # noqa: E402
 
 # broadcast id-frames only below this row estimate (ids are 8 bytes;
 # 5M rows ≈ 40 MB < the 10x-default autoBroadcastJoinThreshold we run)
@@ -114,7 +114,7 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
     spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
     t0 = time.monotonic()
     run_id = uuid.uuid4().hex[:12]
-    table = IceTable(args.output)
+    table = open_table(args.output)  # TableIO seam (SURVEY §4.2)
     committed = table.committed_partitions() if args.resume else set()
     if not args.resume and table.current_version() > 0:
         raise SystemExit(f"{args.output} already has snapshots; pass --resume")

@@ -34,7 +34,7 @@ from geopy_spark.operators.images import decode_mean_udf  # noqa: E402
 from geopy_spark.operators.spatial_join import spatial_join  # noqa: E402
 from geopy_spark.operators.tiling import tile_stats  # noqa: E402
 from geopy_spark.session import get_spark  # noqa: E402
-from geopy_spark.sources.icetab import IceTable  # noqa: E402
+from geopy_spark.sources.tableio import open_table  # noqa: E402
 
 
 def build_args(argv=None):
@@ -71,7 +71,7 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
                           shuffle_partitions=args.shuffle_partitions)
     t0 = time.monotonic()
     run_id = uuid.uuid4().hex[:12]
-    table = IceTable(args.output)
+    table = open_table(args.output)  # TableIO seam (SURVEY §4.2)
     committed = table.committed_partitions() if args.resume else set()
     if not args.resume and table.current_version() > 0:
         raise SystemExit(f"{args.output} already has snapshots; pass --resume")

@@ -103,6 +103,30 @@ def test_verify_roundtrip_sampling_contract(spark, images_df):
     assert s8b.rt == s8.rt
 
 
+def test_verify_invariants_without_image_id(spark, images_df):
+    """ADVICE r2: with digests=None and sample=1 the verifier must not
+    require an image_id column; and a batch whose roundtrip sample hits
+    zero rows reports min_psnr as null, never +inf."""
+    from geopy_spark.operators.images import verify_payload_invariants
+    from geopy_spark.operators.multimodal import hash_32
+
+    no_id = images_df.drop("image_id")
+    out = verify_payload_invariants(no_id).agg(
+        F.sum("n").alias("n"), F.min("min_psnr").alias("mp")).first()
+    assert out.n == 200 and out.mp >= 40.0
+
+    # pick ids the 1-in-k sampler deterministically skips → n_roundtrip=0
+    k = 997
+    skipped = images_df.toPandas()
+    skipped = skipped[skipped.image_id.map(lambda i: hash_32(i) % k != 0)].head(6)
+    assert len(skipped) == 6
+    df = spark.createDataFrame(skipped).coalesce(1)
+    rows = verify_payload_invariants(df, roundtrip_sample=k).collect()
+    assert sum(r.n for r in rows) == 6
+    assert sum(r.n_roundtrip for r in rows) == 0
+    assert all(r.min_psnr is None for r in rows)
+
+
 def test_images_parquet_writer(tmp_path, spark):
     path = str(tmp_path / "img.parquet")
     synth.write_images_parquet(path, 50, chunk=16)
