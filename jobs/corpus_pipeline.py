@@ -78,6 +78,11 @@ def build_args(argv=None):
                          "across 8 tasks pinned the CPU-dense features stage "
                          "to ~2.9 effective cores at local[8]. Finer splits "
                          "re-balance WITHOUT shuffling document bodies.")
+    ap.add_argument("--features-impl", choices=["pandas", "codegen"],
+                    default="pandas",
+                    help="stage-1 implementation: single-pass mapInPandas "
+                         "(default; 5.1x faster, scales with the python "
+                         "workers) or the JVM Column-algebra twin")
     ap.add_argument("--exact-components", action="store_true",
                     help="near-dup pruning by exact connected components "
                          "(operators/graph) instead of the min-id pair rule")
@@ -90,8 +95,17 @@ def _maybe_bcast(df, n_rows: int):
     return F.broadcast(df) if n_rows <= BROADCAST_MAX_IDS else df
 
 
-def doc_features(docs):
-    """Stage-1 projection: every column is JVM-side Column algebra."""
+def doc_features(docs, impl: str = "pandas"):
+    """Stage-1 feature projection. impl='pandas' (default) is the
+    single-pass mapInPandas implementation — measured 5.1x faster than
+    the Column chain on 300k docs AND it moves the CPU into python
+    workers, the part of the engine whose N->4N scaling holds at 0.84+
+    (the codegen chain scaled at 2.24x/4 slots on this shared-socket
+    host: BENCH/BASELINE.md round-2 finding #2). impl='codegen' keeps
+    the JVM Column-algebra twin; pytest pins both to identical output."""
+    if impl == "pandas":
+        from geopy_spark.functions.textbatch import doc_features_batch
+        return doc_features_batch(docs)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -141,9 +155,10 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
 
     # ---- stage 1: per-doc features (map-only, codegen)
     if "features" not in committed:
+        impl = getattr(args, "features_impl", "pandas")
         _timed("features", lambda: table.commit(
             [table.write_partition(
-                doc_features(docs).sortWithinPartitions("doc_id"),
+                doc_features(docs, impl).sortWithinPartitions("doc_id"),
                 "features")], run_id))
 
     feats = table.read_partition(spark, "features")
