@@ -128,10 +128,22 @@ def _dec_qjpg(buf: bytes, w: int, h: int) -> np.ndarray:
     return rec.reshape(int(ph), int(pw), 3)
 
 
+def _enc_tiff(img):
+    from .tiff import encode_tiff
+    return encode_tiff(img, compression="lzw")
+
+
+def _dec_tiff(buf, w, h):
+    from .tiff import decode_tiff
+    return decode_tiff(buf)
+
+
 _ENCODERS = {"raw": _enc_raw, "ppm": _enc_ppm, "rle": _enc_rle,
-             "qjpg": _enc_qjpg, "png": lambda img: encode_png(img)}
+             "qjpg": _enc_qjpg, "png": lambda img: encode_png(img),
+             "tiff": _enc_tiff}
 _DECODERS = {"raw": _dec_raw, "ppm": _dec_ppm, "rle": _dec_rle,
-             "qjpg": _dec_qjpg, "png": lambda buf, w, h: decode_png(buf)}
+             "qjpg": _dec_qjpg, "png": lambda buf, w, h: decode_png(buf),
+             "tiff": _dec_tiff}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

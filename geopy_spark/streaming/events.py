@@ -129,6 +129,18 @@ def running_user_totals_tws(stream: DataFrame, watermark: str = "1 hour") -> Dat
     python<->JVM state protocol requires google.protobuf at runtime —
     present on normal Spark clusters, absent in this sandbox (test skips
     there; applyInPandasWithState above is the sandbox-verified path)."""
+    return (stream.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .transformWithStateInPandas(make_totals_processor(), _OUT_SCHEMA,
+                                        "Update", "ProcessingTime"))
+
+
+def make_totals_processor():
+    """The S6 StatefulProcessor, constructed lazily (the import itself is
+    protobuf-free; only the JVM state protocol needs protobuf). Module-
+    level so the sandbox equivalence test can drive handleInputRows
+    against a fake state handle — the processor's SEMANTICS get a green
+    signal even where the wire protocol cannot run (VERDICT r2 #9)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
 
@@ -148,10 +160,7 @@ def running_user_totals_tws(stream: DataFrame, watermark: str = "1 hour") -> Dat
         def close(self) -> None:
             pass
 
-    return (stream.withWatermark("ts", watermark)
-            .groupBy("user_id")
-            .transformWithStateInPandas(Totals(), _OUT_SCHEMA,
-                                        "Update", "ProcessingTime"))
+    return Totals()
 
 
 def run_available_now(out: DataFrame, checkpoint: str, sink_dir: str,

@@ -123,6 +123,55 @@ def test_stream_transform_with_state(spark, tmp_path, src_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_tws_processor_semantics_without_protobuf(spark, src_dir):
+    """S6 batch-twin equivalence for the transformWithStateInPandas
+    processor (VERDICT r2 #9): drive handleInputRows per key against a
+    fake ValueState handle — multi-batch accumulation must equal the
+    batch groupBy totals. The wire-protocol test above still skips where
+    protobuf is absent; this pins the processor's semantics everywhere."""
+    import pandas as pd
+    from geopy_spark.streaming.events import make_totals_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v, self._has = None, False
+
+        def exists(self):
+            return self._has
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self._has = v, True
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    pdf = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("user_id", "value").toPandas()
+    got = {}
+    for uid, g in pdf.groupby("user_id"):
+        proc = make_totals_processor()
+        proc.init(FakeHandle())
+        # feed in two micro-batch-like chunks to exercise state carry-over
+        half = len(g) // 2
+        out = None
+        for chunk in (g.iloc[:half], g.iloc[half:]):
+            if len(chunk) == 0:
+                continue
+            out = pd.concat(list(proc.handleInputRows(
+                (uid,), iter([chunk]), None)))
+        got[uid] = (int(out.cnt.iloc[0]), round(float(out.sum_v.iloc[0]), 6))
+    exp = {uid: (len(g), round(float(g["value"].sum()), 6))
+           for uid, g in pdf.groupby("user_id")}
+    assert got == exp
+
+
 def test_salted_join_equivalence(spark):
     # skewed big side: 80% of rows share key 7
     big = (spark.range(20000)
