@@ -83,3 +83,23 @@ def test_codec_roundtrip_property(w, h, seed, fmt):
         assert np.array_equal(img, out)
     else:
         assert C.psnr(img, out) >= 40.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=30000))
+def test_tiff_lzw_roundtrip_property(data):
+    """TIFF-LZW (kernels/tiff) must invert on ARBITRARY byte strings —
+    hypothesis drives repetitive runs, random noise, and the empty
+    string through the early-change width boundaries."""
+    from geopy_spark.kernels import tiff as Tf
+    assert Tf.lzw_decode(Tf.lzw_encode(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 60), h=st.integers(1, 60),
+       seed=st.integers(0, 2**31 - 1), rps=st.integers(1, 64))
+def test_tiff_container_roundtrip_property(w, h, seed, rps):
+    from geopy_spark.kernels import tiff as Tf
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    buf = Tf.encode_tiff(img, compression="lzw", rows_per_strip=rps)
+    assert np.array_equal(Tf.decode_tiff(buf), img)
