@@ -38,6 +38,31 @@ DEFAULT_LEVEL = 6
 # driver/executor broadcast and the cell-bucketed salted SMJ path wins
 BROADCAST_MAX_COVER_ROWS = 4_000_000
 
+# estimate memo keyed by the (immutable) region DataFrame instance —
+# callers reuse one dim frame across many joins, and the guard's one
+# cheap agg still costs a ~0.5s driver job round-trip per call at
+# interactive scale (measured); pay it once per frame+level
+_COVER_EST_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = None  # type: ignore[assignment]
+
+
+def _cover_estimate(regions: DataFrame, level: int) -> int:
+    global _COVER_EST_MEMO
+    import weakref
+    if _COVER_EST_MEMO is None:
+        _COVER_EST_MEMO = weakref.WeakKeyDictionary()
+    per_frame = _COVER_EST_MEMO.setdefault(regions, {})
+    if level not in per_frame:
+        cell_h = 180.0 / float(2 ** level)
+        cell_w = 360.0 / float(2 ** level)
+        est = regions.agg(F.sum(
+            (F.floor(F.col("lat_max") / cell_h)
+             - F.floor(F.col("lat_min") / cell_h) + 1)
+            * (F.floor(F.col("lon_max") / cell_w)
+               - F.floor(F.col("lon_min") / cell_w) + 1)).alias("est")
+        ).first()["est"]
+        per_frame[level] = int(est or 0)
+    return per_frame[level]
+
 
 def polygon_cover_udf(ring: Column, level: int) -> Column:
     """ring array<array<double>> → covering cells array<long> (G4)."""
@@ -98,6 +123,7 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     # Arrow batch — compact the vector side before its cover UDF
     # (coalesce never increases partition count, so this is a no-op for
     # already-compact inputs; no df.rdd plan conversion needed)
+    regions_in = regions  # memo key: the caller's (immutable) frame
     regions = regions.coalesce(8)
     cov = (regions
            .withColumn("cell", F.explode(polygon_cover_udf(F.col("ring"), level)))
@@ -106,15 +132,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     pts = points.withColumn("cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
 
     if broadcast_regions is None:
-        cell_h = 180.0 / float(2 ** level)
-        cell_w = 360.0 / float(2 ** level)
-        est = regions.agg(F.sum(
-            (F.floor(F.col("lat_max") / cell_h)
-             - F.floor(F.col("lat_min") / cell_h) + 1)
-            * (F.floor(F.col("lon_max") / cell_w)
-               - F.floor(F.col("lon_min") / cell_w) + 1)).alias("est")
-        ).first()["est"]
-        broadcast_regions = (est or 0) <= BROADCAST_MAX_COVER_ROWS
+        broadcast_regions = (_cover_estimate(regions_in, level)
+                             <= BROADCAST_MAX_COVER_ROWS)
 
     if broadcast_regions:
         cand = pts.join(F.broadcast(cov), "cell")
