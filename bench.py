@@ -131,6 +131,20 @@ def skew_experiment(spark, sf_dir) -> dict:
     return out
 
 
+def _latest_scaling() -> dict | None:
+    """The most recent two-cluster-size protocol result (written by
+    tools/bench_scaling.py runs; see BENCH/BASELINE.md for the full
+    audited section) — embedded here so the per-round bench artifact
+    carries the binding north-rule number alongside the sf0.1 walls."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "scaling_latest.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -188,6 +202,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "counts": counts,
         "skew_experiment": skew,
+        "two_level_scaling": _latest_scaling(),
         "spatial_rows_per_sec": round(n_pts / max(times["spatial_join"], 1e-9), 1),
         "cores": cores,
     }))
