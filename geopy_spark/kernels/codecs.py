@@ -168,6 +168,34 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
 
 
+# ------------------------------------------------------------------- resize
+
+def _area_weights(src: int, dst: int) -> np.ndarray:
+    """[dst, src] row matrix of exact area-overlap fractions: target cell
+    i covers source interval [i*s, (i+1)*s), s = src/dst; each weight is
+    overlap length / s. Rows sum to 1 exactly (up to fp), so W @ img is
+    the exact area-average resample — equal to the blockwise mean when
+    dst divides src."""
+    s = src / dst
+    i = np.arange(dst, dtype=np.float64)
+    lo, hi = i * s, (i + 1) * s
+    y = np.arange(src, dtype=np.float64)
+    ov = np.minimum(hi[:, None], y[None, :] + 1.0) - np.maximum(lo[:, None], y[None, :])
+    return np.clip(ov, 0.0, 1.0) / s
+
+
+def resize_area(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic area-average resize to [th, tw, 3] uint8 (I3
+    generalized past the 2x box filter: arbitrary targets, down or up).
+    Half-up rounding for cross-platform determinism."""
+    h, w = img.shape[:2]
+    wy = _area_weights(h, th)
+    wx = _area_weights(w, tw).T
+    out = np.einsum("ty,yxc,xs->tsc", wy, img.astype(np.float64), wx,
+                    optimize=True)
+    return np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
+
+
 # -------------------------------------------------------------------- phash
 
 _DCT32 = None

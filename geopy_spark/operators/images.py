@@ -70,6 +70,36 @@ def transcode(df: DataFrame, to_fmt: str) -> DataFrame:
     return df.mapInPandas(_f, out_schema)
 
 
+def resize_images(df: DataFrame, tw: int, th: int,
+                  out_fmt: str | None = None) -> DataFrame:
+    """Resize every payload to (tw, th) via exact area-average resample
+    (kernels/codecs.resize_area — the brief's generic 'resize', past
+    I3's 2x box filter), re-encoding to ``out_fmt`` (default: keep each
+    row's format). One mapInPandas stage: decode → resample → encode;
+    w/h columns are rewritten, everything else (captions!) passes
+    through untouched. At 10^12 rows this is a narrow map — payloads
+    never shuffle."""
+    fields = df.schema.fields
+    out_schema = StructType([
+        StructField(f.name, BinaryType() if f.name == "bytes" else f.dataType)
+        for f in fields
+    ])
+
+    def _f(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bufs, fmts = [], []
+            for n in range(len(pdf)):
+                fmt = pdf["fmt"].iloc[n]
+                img = C.decode(pdf["bytes"].iloc[n], fmt,
+                               int(pdf["w"].iloc[n]), int(pdf["h"].iloc[n]))
+                small = C.resize_area(img, th, tw)
+                f2 = out_fmt or fmt
+                bufs.append(C.encode(small, f2))
+                fmts.append(f2)
+            yield pdf.assign(bytes=bufs, fmt=fmts, w=tw, h=th)
+    return df.mapInPandas(_f, out_schema)
+
+
 def psnr_vs_udf(bytes_a: Column, fmt_a: Column, bytes_b: Column, fmt_b: Column,
                 w: Column, h: Column) -> Column:
     """PSNR between two payload columns (I5) — the ≥40 dB invariant check."""

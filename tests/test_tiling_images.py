@@ -127,6 +127,42 @@ def test_verify_invariants_without_image_id(spark, images_df):
     assert all(r.min_psnr is None for r in rows)
 
 
+def test_resize_area_kernel_exactness():
+    """resize_area == blockwise mean for integer factors; deterministic
+    and shape-correct for arbitrary (incl. up-) targets."""
+    import numpy as np
+    from geopy_spark.kernels.codecs import resize_area
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    out = resize_area(img, 12, 16)
+    blocks = img.reshape(12, 4, 16, 4, 3).astype(np.float64).mean(axis=(1, 3))
+    exp = np.floor(blocks + 0.5).astype(np.uint8)
+    assert np.array_equal(out, exp)
+    up = resize_area(img, 96, 100)
+    assert up.shape == (96, 100, 3)
+    assert np.array_equal(up, resize_area(img, 96, 100))  # deterministic
+    # constant image stays constant under any resample
+    const = np.full((17, 23, 3), 137, dtype=np.uint8)
+    assert np.all(resize_area(const, 5, 9) == 137)
+
+
+def test_resize_images_operator(spark, images_df):
+    from geopy_spark.kernels import codecs as C
+    from geopy_spark.kernels.codecs import resize_area
+    from geopy_spark.operators.images import resize_images
+
+    out = resize_images(images_df.limit(24), 8, 8, out_fmt="rle").collect()
+    assert len(out) == 24
+    src = {r.image_id: r for r in images_df.limit(24).collect()}
+    for r in out:
+        assert (r.w, r.h, r.fmt) == (8, 8, "rle")
+        assert r.caption == src[r.image_id].caption  # I6 untouched
+        img = C.decode(r.bytes, r.fmt, 8, 8)
+        orig = C.decode(src[r.image_id].bytes, src[r.image_id].fmt,
+                        src[r.image_id].w, src[r.image_id].h)
+        assert np.array_equal(img, resize_area(orig, 8, 8))
+
+
 def test_images_parquet_writer(tmp_path, spark):
     path = str(tmp_path / "img.parquet")
     synth.write_images_parquet(path, 50, chunk=16)
