@@ -648,19 +648,30 @@ FROM orders GROUP BY 1, 2
 def q_percentiles(spark, sf_dir):
     """R11/R12 extension: exact median and interpolated percentiles
     (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
-    interpolation on the order statistics), plus an HLL-style bounded
-    check for approx_percentile — the approximate estimator differs by
-    engine, so the gated column is `approx within 2% of exact`."""
+    interpolation on the order statistics), plus TWO bounded-error
+    sketch gates: Spark's approx_percentile (within 2% of exact) and the
+    engine's own from-scratch t-digest (operators/sketch — partial
+    digests per partition, one centroid-array shuffle, per-key merge;
+    within 5% of exact at δ=500, far outside its ~1.2% rank-error
+    bound so the boolean is stable under ANY partitioning)."""
+    from .operators.sketch import tdigest_quantiles
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.round(F.median("l_extendedprice"), 4).alias("median_price"),
-                 F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-                 F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
-                 F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_ap"),
-                 F.count("*").alias("n"))
+    exact = (li.groupBy("l_returnflag")
+             .agg(F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+                  F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+                  F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+                  F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_ap"),
+                  F.count("*").alias("n")))
+    td = tdigest_quantiles(li, ["l_returnflag"], "l_extendedprice",
+                           [0.5, 0.9], delta=500)
+    return (exact.join(F.broadcast(td), "l_returnflag")
             .select("l_returnflag", "median_price", "p90_price", "p99_price",
                     (F.abs(F.col("_ap") - F.col("p90_price"))
                      <= 0.02 * F.col("p90_price")).alias("approx_within_2pct"),
+                    (F.abs(F.col("td_q50") - F.col("median_price"))
+                     <= 0.05 * F.col("median_price")).alias("tdigest_q50_ok"),
+                    (F.abs(F.col("td_q90") - F.col("p90_price"))
+                     <= 0.05 * F.col("p90_price")).alias("tdigest_q90_ok"),
                     "n"))
 
 
@@ -670,6 +681,8 @@ SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
        round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
        true AS approx_within_2pct,
+       true AS tdigest_q50_ok,
+       true AS tdigest_q90_ok,
        count(*) AS n
 FROM lineitem GROUP BY 1
 """
