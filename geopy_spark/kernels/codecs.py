@@ -138,12 +138,24 @@ def _dec_tiff(buf, w, h):
     return decode_tiff(buf)
 
 
+def _enc_gif(img):
+    # lossless for <=256-color images; raises for true color (GIF is
+    # palette-indexed — an ingest format, not a mastering target)
+    from .gif import encode_gif
+    return encode_gif(img)
+
+
+def _dec_gif(buf, w, h):
+    from .gif import decode_gif
+    return decode_gif(buf)
+
+
 _ENCODERS = {"raw": _enc_raw, "ppm": _enc_ppm, "rle": _enc_rle,
              "qjpg": _enc_qjpg, "png": lambda img: encode_png(img),
-             "tiff": _enc_tiff}
+             "tiff": _enc_tiff, "gif": _enc_gif}
 _DECODERS = {"raw": _dec_raw, "ppm": _dec_ppm, "rle": _dec_rle,
              "qjpg": _dec_qjpg, "png": lambda buf, w, h: decode_png(buf),
-             "tiff": _dec_tiff}
+             "tiff": _dec_tiff, "gif": _dec_gif}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:
