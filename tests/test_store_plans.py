@@ -113,11 +113,17 @@ def test_round2_query_plans_disciplined(spark):
     X.assert_pushed_filter(ws, "ts")
     X.assert_column_pruned(ws, "props")  # events.props never read
 
-    # stats_agg / percentiles / weighted_avg_udaf: one shuffle each
-    for name in ("stats_agg", "percentiles", "weighted_avg_udaf"):
+    # stats_agg / weighted_avg_udaf: one shuffle each
+    for name in ("stats_agg", "weighted_avg_udaf"):
         df = qs[name](spark, sf)
         n = X.count_shuffle_exchanges(df)
         assert 1 <= n <= 1, (name, n)  # exactly the one agg shuffle
+
+    # percentiles (round 3: + t-digest sketch branch): the exact-agg
+    # shuffle plus the sketch's centroid-array shuffle — never more
+    # (the raw values shuffle exactly once)
+    n = X.count_shuffle_exchanges(qs["percentiles"](spark, sf))
+    assert 1 <= n <= 2, ("percentiles", n)
 
     # events_json (from_json + json-path + regex paths): only
     # event_type+props read
