@@ -51,3 +51,44 @@ def test_gif_registry_ingest():
 def test_gif_rejects_garbage():
     with pytest.raises(ValueError):
         G.decode_gif(b"NOTAGIF89a")
+
+
+def test_mixed_format_ingest_through_image_operators(spark):
+    """Real ingest story: a table whose payloads mix the hot formats with
+    tiff and gif rows flows through the per-row-dispatched image
+    operators (decode_mean_udf / phash recompute) unchanged — the fmt
+    column drives the codec registry inside one Arrow batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geopy_spark.kernels import tiff as Tf
+    from geopy_spark.operators.images import decode_mean_udf, phash_udf
+
+    rng = np.random.default_rng(9)
+    pal = np.unique(rng.integers(0, 256, (64, 3), dtype=np.uint8), axis=0)
+    rows = []
+    for i in range(12):
+        h, w = 16 + (i % 3) * 8, 16 + (i % 2) * 16
+        if i % 3 == 0:
+            img = pal[rng.integers(0, len(pal), (h, w))].astype(np.uint8)
+            fmt, buf = "gif", G.encode_gif(img)
+        elif i % 3 == 1:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            fmt, buf = "tiff", Tf.encode_tiff(img)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            fmt, buf = "rle", C.encode(img, "rle")
+        rows.append((f"m{i}", buf, fmt, w, h,
+                     float(img.mean()), C.phash64(img)))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h",
+                                      "exp_mean", "exp_phash"])
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "image_id", "exp_mean", "exp_phash",
+        decode_mean_udf(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"))
+        .alias("mean"),
+        phash_udf(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"))
+        .alias("ph")).collect()
+    assert len(out) == 12
+    for r in out:
+        assert abs(r.mean - r.exp_mean) < 1e-9, r.image_id
+        assert r.ph == r.exp_phash, r.image_id
