@@ -183,17 +183,29 @@ FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
 
 
 def q_distinct_counts(spark, sf_dir):
+    """R12 both paths in one witness (merged with the former
+    ``approx_distinct`` query in round 3 to free a registry slot under
+    the driver's 50-row artifact): exact countDistinct per group, plus
+    HLL++ (rsd=0.02) gated as a bounded-error boolean — the estimator
+    differs from DuckDB's, so the checked column asserts the estimate
+    landed within 5% of exact (deterministic for fixed data; a drifting
+    estimator flips the hash)."""
     o = load_table(spark, sf_dir, "orders")
     return (o.withColumn("yr", F.year("o_orderdate").cast("long"))
             .groupBy("yr")
             .agg(F.countDistinct("o_custkey").alias("n_cust"),
-                 F.countDistinct("o_orderpriority").alias("n_prio")))
+                 F.countDistinct("o_orderpriority").alias("n_prio"),
+                 F.approx_count_distinct("o_custkey", 0.02).alias("approx"))
+            .select("yr", "n_cust", "n_prio",
+                    (F.abs(F.col("approx") - F.col("n_cust"))
+                     <= 0.05 * F.col("n_cust")).alias("within_5pct")))
 
 
 _SQL_DISTINCT = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        count(DISTINCT o_custkey) AS n_cust,
-       count(DISTINCT o_orderpriority) AS n_prio
+       count(DISTINCT o_orderpriority) AS n_prio,
+       true AS within_5pct
 FROM orders GROUP BY year(o_orderdate)
 """
 
@@ -518,28 +530,6 @@ SELECT p_partkey,
        round(pow(CAST(p_size AS DOUBLE), 1.5), 4) AS size_pow,
        CAST(p_size % 7 AS BIGINT) AS size_mod
 FROM part
-"""
-
-
-def q_approx_distinct(spark, sf_dir):
-    """R12 approximate path: HLL++ with rsd=0.02, oracle-gated as a
-    bounded-error check — the estimator differs from DuckDB's, so the
-    checked columns are the exact count plus a boolean asserting the HLL
-    estimate landed within 5% of it (HLL is deterministic for fixed data,
-    so the gate is stable; a drifting estimator flips the hash)."""
-    e = load_table(spark, sf_dir, "events")
-    return (e.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx"),
-                 F.countDistinct("user_id").alias("exact_users"))
-            .select("event_type", "exact_users",
-                    (F.abs(F.col("approx") - F.col("exact_users"))
-                     <= 0.05 * F.col("exact_users")).alias("within_5pct")))
-
-
-_SQL_APPROX_DISTINCT = """
-SELECT event_type, count(DISTINCT user_id) AS exact_users,
-       true AS within_5pct
-FROM events GROUP BY event_type
 """
 
 
@@ -1528,6 +1518,71 @@ def q_simhash_neardup(spark, sf_dir):
 _SQL_SIMHASH = _sql_simhash(16)
 
 
+def _phash_synth_cols(d):
+    """Deterministic 63-bit synthetic phash from an id Column — five
+    independent affine-mod pieces packed into bits 0..62 (shared-constant
+    protocol: the SQL twin evaluates the identical arithmetic; every
+    intermediate stays < 2^63 for ids up to 10^7, so Spark and DuckDB
+    BIGINT semantics agree bit for bit)."""
+    pieces = [(12829, 511, 32768, 0), (24593, 127, 32768, 15),
+              (4391, 257, 32768, 30), (9973, 97, 32768, 45),
+              (733, 19, 8, 60)]
+    ph = F.lit(0).cast("long")
+    for a, b, m, sh in pieces:
+        ph = ph.bitwiseOR(F.shiftleft((d * a + b) % m, sh))
+    return ph
+
+
+_PHASH_SYNTH_SQL = ("(((%(d)s*12829+511)%%32768) | (((%(d)s*24593+127)%%32768) << 15)"
+                    " | (((%(d)s*4391+257)%%32768) << 30)"
+                    " | (((%(d)s*9973+97)%%32768) << 45)"
+                    " | (((%(d)s*733+19)%%8) << 60))")
+
+
+def q_image_neardup(spark, sf_dir):
+    """IMAGE near-dup via perceptual-hash Hamming LSH
+    (operators/dedup.phash_neardup_pairs): band the 64-bit phash into 8
+    8-bit chunks, bucket-join, exact bit_count(xor) ≤ 7 verify — all JVM
+    Column algebra, zero python. The driver-gated claim is the operator's
+    EXACTNESS contract: with max_hamming(7) < bands(8), pigeonhole
+    guarantees recall 1.0, so the oracle is the brute-force all-pairs
+    Hamming join with NO banding condition — any pair the LSH route
+    missed (or invented) flips the hash.
+
+    Population: one synthetic phash per documents row (shared-constant
+    affine-mod synthesis, _phash_synth_cols) plus a planted near-dup twin
+    for every 5th doc with 1-2 bits flipped — both engines derive it from
+    doc_id alone. The end-to-end path over REAL pixels (synth images →
+    kernels/codecs.phash64 → this operator) is gated in
+    tests/test_dedup.py, where python may run; here the fingerprint is
+    synthesized so DuckDB can recompute it."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = d.select(F.col("doc_id").alias("id"),
+                    _phash_synth_cols(F.col("doc_id")).alias("ph"))
+    flip = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT)) | "
+                  "shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7 + 13) % 60 AS INT))")
+    twins = (d.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 1000000).alias("id"),
+                     _phash_synth_cols(F.col("doc_id")).bitwiseXOR(flip).alias("ph")))
+    pop = base.unionAll(twins)
+    return dedup.phash_neardup_pairs(pop, id_col="id", phash_col="ph",
+                                     max_hamming=7, bands=8)
+
+
+_SQL_IMAGE_NEARDUP = f"""
+WITH ids AS (SELECT doc_id AS d FROM documents),
+base AS (SELECT d AS id, {_PHASH_SYNTH_SQL % {'d': 'd'}} AS ph FROM ids),
+twins AS (SELECT d + 1000000 AS id,
+                 xor({_PHASH_SYNTH_SQL % {'d': 'd'}},
+                     (1::BIGINT << (d % 60)) | (1::BIGINT << ((d*7+13) % 60))) AS ph
+          FROM ids WHERE d % 5 = 0),
+pop AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+p AS (SELECT x.id AS a, y.id AS b, xor(x.ph, y.ph) AS h
+      FROM pop x JOIN pop y ON x.id < y.id)
+SELECT a, b, bit_count(h)::BIGINT AS hamming FROM p WHERE bit_count(h) <= 7
+"""
+
+
 # -- embedding fixtures: the driver's embeddings table has NO near pairs
 # (max pairwise cosine 0.51 at sf0.01), so near-dup/ANN queries plant
 # perturbed copies DERIVED deterministically from the table itself — the
@@ -1761,6 +1816,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
+    "image_neardup": q_image_neardup,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     # LLM-pipeline / similarity
@@ -1797,7 +1853,6 @@ QUERIES = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "grouping_multi": q_grouping_multi,
     "distinct_counts": q_distinct_counts,
-    "approx_distinct": q_approx_distinct,
     "setops_active_years": q_setops_active_years,
     "events_daily": q_events_daily,
     "events_json": q_events_json_all,
@@ -1819,6 +1874,7 @@ ORACLES = {
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
     "minhash_neardup": _SQL_MINHASH,
     "simhash_neardup": _SQL_SIMHASH,
+    "image_neardup": _SQL_IMAGE_NEARDUP,
     "embedding_neardup": _SQL_EMB_NEARDUP,
     "ann_topk": _SQL_ANN_TOPK,
     "exact_dedup": _SQL_DEDUP,
@@ -1850,7 +1906,6 @@ ORACLES = {
     "top_orders_per_customer": _SQL_TOP_ORDERS,
     "grouping_multi": _SQL_GROUPING_MULTI,
     "distinct_counts": _SQL_DISTINCT,
-    "approx_distinct": _SQL_APPROX_DISTINCT,
     "setops_active_years": _SQL_SETOPS,
     "events_daily": _SQL_EVENTS_DAILY,
     "events_json": _SQL_EVENTS_JSON_ALL,

@@ -398,3 +398,47 @@ def embedding_neardup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     return (cand.withColumn("cosine", F.round(cos, 4))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))
+
+
+def phash_neardup_pairs(images: DataFrame, *, id_col: str = "image_id",
+                        phash_col: str = "phash", max_hamming: int = 7,
+                        bands: int = 8,
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """IMAGE near-dup by perceptual-hash Hamming LSH: band the stored
+    64-bit phash (kernels/codecs.phash64 — computed once at ingest) into
+    ``bands`` equal bit chunks; candidate = pair sharing ≥1 chunk value;
+    exact ``bit_count(xor)`` verify on candidates only.
+
+    By pigeonhole the banding is EXACT — recall 1.0, not probabilistic —
+    whenever ``max_hamming < bands``: a pair differing in ≤ bands-1 bits
+    cannot touch every band, so some band matches (the default 7/8 is the
+    standard "phash distance ≤ 7 ⇒ same image" operating point). Above
+    that it degrades to the same chunk-candidate contract as SimHash.
+
+    100 TB shape: the whole operator is JVM Column algebra — banding is
+    shiftright/AND bit math, the verify is bit_count(xor) — zero Python,
+    whole-stage codegen end to end. Only (id, phash, band, value) rows
+    ever shuffle (image bytes stay in the source files untouched); one
+    shuffle total via the shared single-pass ``_bucket_pairs`` shape, and
+    degenerate buckets (flat-color thumbnails collapsing to one phash
+    band) are bounded by ``max_bucket`` with drops reportable via
+    :func:`lsh_bucket_drops`.
+    """
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    ph = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+    banded = ph.select("id", "ph", F.explode(F.array(*[
+        F.struct(F.lit(k).alias("band"),
+                 F.shiftright(F.col("ph"), k * width)
+                 .bitwiseAND(F.lit(mask)).alias("val"))
+        for k in range(bands)
+    ])).alias("bv")).select("id", "ph", "bv.band", "bv.val")
+    cand = (_bucket_pairs(banded, ["band", "val"], max_bucket)
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.col("l.ph").alias("pha"), F.col("r.ph").alias("phb")))
+    ham = F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -247,3 +247,49 @@ def test_lsh_bucket_guard_degenerate(spark):
     drops = dedup.lsh_bucket_drops(banded, ["band", "bucket"], 100)
     assert drops["dropped_buckets"] >= 16      # every band has the hot bucket
     assert drops["max_bucket_seen"] >= 1000
+
+
+# ---------------------------------------------------------------- image near-dup
+
+
+def test_phash_neardup_real_images(spark):
+    """End-to-end IMAGE near-dup over real pixels: synth images →
+    kernels/codecs.phash64 → phash_neardup_pairs (banded Hamming LSH).
+    With max_hamming(7) < bands(8) the banding is exact by pigeonhole, so
+    the operator's output must EQUAL the brute-force all-pairs Hamming
+    join — recall 1.0 and precision 1.0, not approximately."""
+    from geopy_spark import synth
+    from geopy_spark.kernels import codecs as C
+
+    pdf = synth.make_images_pdf(40)
+    ids, hashes = [], []
+    for i, r in pdf.iterrows():
+        ids.append(i)
+        hashes.append(int(r["phash"]))
+    # planted near-dups: +3 uniform brightness — shifts only the DCT DC
+    # coefficient (the AC median is unchanged), so hamming ≤ 1 vs the base
+    for i in range(8):
+        r = pdf.iloc[i]
+        img = C.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+        pert = np.clip(img.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+        ids.append(1000 + i)
+        hashes.append(C.phash64(pert))
+
+    hs = np.array(hashes, dtype=np.int64).astype(np.uint64)
+    exact = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if bin(int(hs[x] ^ hs[y])).count("1") <= 7:
+                exact.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
+
+    df = spark.createDataFrame(pd.DataFrame({"image_id": ids, "phash": hashes}))
+    got = {(r.a, r.b) for r in
+           dedup.phash_neardup_pairs(df, max_hamming=7, bands=8).collect()}
+    assert got == exact
+    planted = {(i, 1000 + i) for i in range(8)}
+    assert planted <= got  # every +3-brightness twin is within hamming 7
+
+
+def test_phash_neardup_bands_divide():
+    with pytest.raises(ValueError):
+        dedup.phash_neardup_pairs(None, bands=7)
