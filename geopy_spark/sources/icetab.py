@@ -42,6 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_SCHEMA = pa.schema([
     ("partition", pa.string()), ("file", pa.string()), ("rows", pa.int64()),
+    # per-file column bounds for scan pruning (Iceberg data-file stats
+    # parity): JSON {col: [min, max]} or null — added round 3; readers
+    # treat a missing/null value as "no stats, keep the file"
+    ("stats", pa.string()),
 ])
 _LINEAGE_SCHEMA = pa.schema([
     ("run_id", pa.string()), ("snapshot_id", pa.int64()),
@@ -102,11 +106,52 @@ class IceTable:
         return {r["partition"] for r in self.manifest_rows()}
 
     # ----------------------------------------------------------------- read
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Snapshot-isolated read: only manifest-listed files."""
-        files = [os.path.join(self.path, r["file"]) for r in self.manifest_rows()]
+    def plan_files(self, where: dict | None = None) -> tuple[list[str], int]:
+        """Resolve the snapshot's file list, pruning files whose recorded
+        column bounds cannot intersect ``where`` (Iceberg scan-planning
+        parity). ``where`` maps column → (lo, hi); either bound may be
+        None for a half-open range. Files without stats for a referenced
+        column are kept (conservative). Returns (kept_paths, n_skipped).
+
+        This is FILE pruning only — an I/O plan, not a filter: callers
+        still apply the row-level predicate; rows outside ``where`` that
+        share a file with matching rows are read as normal. At the
+        10^12-row design point this is the difference between touching
+        every data file and touching the few whose sort-clustered cell
+        range overlaps the query window."""
+        kept, skipped = [], 0
+        for r in self.manifest_rows():
+            keep = True
+            s = r.get("stats")
+            if where and s:
+                st = json.loads(s)
+                for col, (lo, hi) in where.items():
+                    if col in st:
+                        mn, mx = st[col]
+                        if ((lo is not None and mx < lo)
+                                or (hi is not None and mn > hi)):
+                            keep = False
+                            break
+            if keep:
+                kept.append(os.path.join(self.path, r["file"]))
+            else:
+                skipped += 1
+        return kept, skipped
+
+    def read(self, spark: SparkSession, where: dict | None = None) -> DataFrame:
+        """Snapshot-isolated read: only manifest-listed files; with
+        ``where``, only files whose stats ranges can match (see
+        :meth:`plan_files` — callers still apply the row predicate)."""
+        files, _ = self.plan_files(where)
         if not files:
-            raise FileNotFoundError(f"icetab {self.path}: no committed snapshot")
+            all_files = [os.path.join(self.path, r["file"])
+                         for r in self.manifest_rows()]
+            if not all_files:
+                raise FileNotFoundError(
+                    f"icetab {self.path}: no committed snapshot")
+            # every file pruned: empty frame with the table schema
+            # (footer-only read)
+            return spark.read.parquet(all_files[0]).limit(0)
         return spark.read.parquet(*files)
 
     def read_partition(self, spark: SparkSession, partition: str) -> DataFrame:
@@ -118,10 +163,16 @@ class IceTable:
         return spark.read.parquet(self.lineage_dir)
 
     # ---------------------------------------------------------------- write
-    def write_partition(self, df: DataFrame, partition: str) -> dict:
+    def write_partition(self, df: DataFrame, partition: str,
+                        stats_cols: list[str] | None = None) -> dict:
         """Write one partition's data files (NOT yet visible — becomes
         visible only at the next commit()). Returns manifest delta rows +
-        lineage row for this partition."""
+        lineage row for this partition. ``stats_cols``: record per-file
+        min/max bounds for these columns in the manifest (read from the
+        parquet footer — no data pass) so later reads can prune files
+        (:meth:`plan_files`); worthwhile when the data is written
+        sort-clustered on those columns (e.g. sortWithinPartitions on the
+        cell id), which is exactly the Iceberg sort-order + stats story."""
         t0 = time.monotonic()
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
@@ -137,14 +188,16 @@ class IceTable:
             rows_out += nrows
             deltas.append({"partition": partition,
                            "file": os.path.relpath(dst, self.path),
-                           "rows": int(nrows)})
+                           "rows": int(nrows),
+                           "stats": _file_stats(dst, stats_cols)})
         shutil.rmtree(staging, ignore_errors=True)
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage = {"partition": partition, "rows_out": int(rows_out),
                    "wall_ms": wall_ms, "n_files": len(deltas)}
         return {"deltas": deltas, "lineage": lineage}
 
-    def write_partitioned(self, df: DataFrame, part_col: str) -> list[dict]:
+    def write_partitioned(self, df: DataFrame, part_col: str,
+                          stats_cols: list[str] | None = None) -> list[dict]:
         """Write MANY partitions in one Spark job (df partitioned by
         ``part_col`` dir layout); returns one write_partition-style pending
         dict per partition value. One shuffle-free write replaces N
@@ -175,7 +228,8 @@ class IceTable:
                 rows_out += nrows
                 deltas.append({"partition": d,
                                "file": os.path.relpath(dst, self.path),
-                               "rows": int(nrows)})
+                               "rows": int(nrows),
+                               "stats": _file_stats(dst, stats_cols)})
             pendings.append({"deltas": deltas,
                              "lineage": {"partition": d, "rows_out": int(rows_out),
                                          "wall_ms": int((time.monotonic() - t0) * 1000),
@@ -215,6 +269,41 @@ class IceTable:
     def append(self, df: DataFrame, partition: str, run_id: str) -> int:
         """Convenience: write one partition and commit it as one snapshot."""
         return self.commit([self.write_partition(df, partition)], run_id)
+
+
+def _file_stats(path: str, cols: list[str] | None) -> str | None:
+    """Per-file [min, max] bounds for ``cols`` as a JSON string, read
+    from the parquet footer row-group statistics — metadata only, never a
+    data pass. A column is dropped (conservatively, no pruning on it) if
+    any row group lacks min/max or the bounds are not plain
+    int/float/str (binary payloads, nested types)."""
+    if not cols:
+        return None
+    md = pq.read_metadata(path)
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    want = set(cols)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in want or name in bad:
+                continue
+            st = c.statistics
+            if (st is None or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str))
+                    or not isinstance(st.max, (int, float, str))):
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    if not mins:
+        return None
+    return json.dumps({k: [mins[k], maxs[k]] for k in mins})
 
 
 def _fsync_dir(path: str) -> None:

@@ -102,8 +102,20 @@ class IcebergIO(TableIO):
                 f"ParquetSnapshotIO / open_table(<dir>)")
 
     # ------------------------------------------------------------------ read
-    def read(self, spark: SparkSession | None = None) -> DataFrame:
-        return (spark or self.spark).table(self.identifier)
+    def read(self, spark: SparkSession | None = None,
+             where: dict | None = None) -> DataFrame:
+        df = (spark or self.spark).table(self.identifier)
+        if where:
+            # expressed as a row filter: Iceberg's scan planning turns
+            # the pushed-down range predicate into the same file-level
+            # min/max pruning icetab does manually (plan_files)
+            from pyspark.sql import functions as F
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(col) <= hi)
+        return df
 
     def read_partition(self, spark: SparkSession | None, partition: str) -> DataFrame:
         col, val = partition.split("=", 1)
@@ -129,12 +141,17 @@ class IcebergIO(TableIO):
             f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ({kv})")
 
     # ----------------------------------------------------------------- write
-    def write_partition(self, df: DataFrame, partition: str):
+    def write_partition(self, df: DataFrame, partition: str,
+                        stats_cols: list | None = None):
         # nothing is written yet: the pending token defers to commit(),
-        # which publishes the whole batch as ONE Iceberg snapshot
+        # which publishes the whole batch as ONE Iceberg snapshot.
+        # stats_cols is accepted for seam parity and ignored: Iceberg
+        # writers collect per-data-file column bounds natively and its
+        # scan planning prunes on them without engine help.
         return {"df": df, "partition": partition, "t0": time.monotonic()}
 
-    def write_partitioned(self, df: DataFrame, part_col: str) -> list:
+    def write_partitioned(self, df: DataFrame, part_col: str,
+                          stats_cols: list | None = None) -> list:
         parts = [r[0] for r in df.select(part_col).distinct().collect()]
         from pyspark.sql import functions as F
         return [{"df": df.filter(F.col(part_col) == p),

@@ -158,7 +158,10 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
 
     if leaf_part not in committed:
         out = leaf.coalesce(max(1, args.cores // 2)).sortWithinPartitions("x", "y")
-        table.commit([table.write_partition(out, leaf_part)], run_id)
+        # x/y-sorted files + per-file bounds in the manifest: a later
+        # tile-window read prunes to the files whose x range overlaps
+        table.commit([table.write_partition(out, leaf_part,
+                                            stats_cols=["x", "y"])], run_id)
         _maybe_fail(args, leaf_part)
 
     # ---- stage 3: pyramid levels z_max-1..0 (G9) — computed from the
@@ -170,7 +173,7 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
         leaf_committed = table.read_partition(spark, leaf_part)
         pyr = tile_pyramid(leaf_committed, z_max=args.zmax, z_min=0, has_mean=True)
         pyr = pyr.filter(F.col("z") < args.zmax)  # leaf already committed
-        table.commit(table.write_partitioned(pyr, "z"), run_id)
+        table.commit(table.write_partitioned(pyr, "z", stats_cols=["x", "y"]), run_id)
         _maybe_fail(args, "pyramid")
 
     wall = time.monotonic() - t0
