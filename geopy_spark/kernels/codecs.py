@@ -138,6 +138,19 @@ def _dec_tiff(buf, w, h):
     return decode_tiff(buf)
 
 
+def _enc_jpeg(img):
+    # quality 98 is the measured floor for PSNR>=40dB on pure-noise
+    # content (kernels/jpeg module docstring); natural images sit far
+    # higher. Not in the hot FORMATS mix (python entropy coding).
+    from .jpeg import encode_jpeg
+    return encode_jpeg(img, quality=98)
+
+
+def _dec_jpeg(buf, w, h):
+    from .jpeg import decode_jpeg
+    return decode_jpeg(buf)
+
+
 def _enc_gif(img):
     # lossless for <=256-color images; raises for true color (GIF is
     # palette-indexed — an ingest format, not a mastering target)
@@ -152,10 +165,10 @@ def _dec_gif(buf, w, h):
 
 _ENCODERS = {"raw": _enc_raw, "ppm": _enc_ppm, "rle": _enc_rle,
              "qjpg": _enc_qjpg, "png": lambda img: encode_png(img),
-             "tiff": _enc_tiff, "gif": _enc_gif}
+             "tiff": _enc_tiff, "gif": _enc_gif, "jpeg": _enc_jpeg}
 _DECODERS = {"raw": _dec_raw, "ppm": _dec_ppm, "rle": _dec_rle,
              "qjpg": _dec_qjpg, "png": lambda buf, w, h: decode_png(buf),
-             "tiff": _dec_tiff, "gif": _dec_gif}
+             "tiff": _dec_tiff, "gif": _dec_gif, "jpeg": _dec_jpeg}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:
@@ -167,7 +180,7 @@ def decode(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
 
 
 def is_lossless(fmt: str) -> bool:
-    return fmt != "qjpg"
+    return fmt not in ("qjpg", "jpeg")
 
 
 # ------------------------------------------------------------------- metrics

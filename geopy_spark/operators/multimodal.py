@@ -4,15 +4,16 @@ Arrow-batched mapInPandas stages.
 
 What is REAL: the Spark-side plumbing (schemas, batch iteration,
 partitioning-safe UDF signatures), image decode via the engine codecs
-(raw/ppm/rle/qjpg/png), audio decode for WAV (RIFF PCM — kernels/wav,
+(raw/ppm/rle/qjpg/png/tiff/gif/jpeg — incl. from-scratch baseline JPEG,
+kernels/jpeg), audio decode for WAV (RIFF PCM — kernels/wav,
 from-scratch public-spec codec), and video decode for Y4M (YUV4MPEG2 —
 kernels/y4m, ditto). Deterministic fake decoders remain for plumbing
 tests that don't care about bytes.
 
-What is STUBBED (no PIL/cv2/ffmpeg/soundfile in this container):
-compressed audio/video (mp3/aac/h264…) — those formats raise
-NotImplementedError with a clear message; the WAV/Y4M paths demonstrate
-the full strict-mode pipeline on formats the outside world produces.
+What is STUBBED (no ffmpeg/soundfile in this container): compressed
+audio/video (mp3/aac/h264…) — those formats raise NotImplementedError
+with a clear message; the WAV/Y4M paths demonstrate the full
+strict-mode pipeline on formats the outside world produces.
 """
 
 from __future__ import annotations
