@@ -161,3 +161,39 @@ def test_jpeg_roundtrip_property(w, h, seed, quality, subsample):
     rec = J.decode_jpeg(J.encode_jpeg(img, quality=quality,
                                       subsample=subsample))
     assert rec.shape == (h, w, 3) and rec.dtype == np.uint8
+
+
+def test_jpeg_as_engine_lossy_invariant(spark):
+    """The pipeline's payload-invariant stage accepts jpeg as the lossy
+    transcode target: over the synthetic image fixture every roundtrip
+    holds PSNR>=40 (BASELINE.json), phash and captions stay intact —
+    i.e. a real-world lossy mastering format now sits behind the same
+    verify gate EP-3 runs with qjpg."""
+    from pyspark.sql import functions as F
+    from geopy_spark import synth
+    from geopy_spark.operators.images import (transcode,
+                                              verify_payload_invariants)
+
+    df = spark.createDataFrame(synth.make_images_pdf(60))
+    rep = (verify_payload_invariants(df, lossy_fmt="jpeg")
+           .agg(F.sum("n").alias("n"), F.sum("n_roundtrip").alias("rt"),
+                F.sum("n_psnr_bad").alias("pb"),
+                F.sum("n_phash_bad").alias("hb"),
+                F.min("min_psnr").alias("mp")).first())
+    assert rep.n == 60 and rep.rt == 60
+    assert (rep.pb, rep.hb) == (0, 0)
+    assert rep.mp >= 40.0
+
+    # transcode to jpeg keeps schema/captions; payloads decode >=40dB
+    tx = transcode(df, "jpeg")
+    joined = (tx.alias("t").join(df.alias("o"), "image_id")
+              .select("image_id", "t.bytes", "t.fmt", "o.caption",
+                      F.col("o.bytes").alias("obytes"),
+                      F.col("o.fmt").alias("ofmt"), "o.w", "o.h"))
+    pdf = joined.toPandas()
+    from geopy_spark.kernels import codecs as C2
+    assert (pdf["fmt"] == "jpeg").all()
+    for r in pdf.itertuples(index=False):
+        src = C2.decode(r.obytes, r.ofmt, int(r.w), int(r.h))
+        out = C2.decode(r.bytes, "jpeg", int(r.w), int(r.h))
+        assert C2.psnr(src, out) >= 40.0, r.image_id
