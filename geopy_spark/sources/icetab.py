@@ -24,8 +24,15 @@ Invariants:
   (json, then hint). A kill at any point leaves the previous snapshot
   intact. Single-writer discipline (the job scheduler's responsibility at
   scale; documented limitation vs a real metastore).
-* A partition appears in at most one snapshot's manifest delta → resume =
-  planned_partitions − committed_partitions.
+* Pipelines write each partition in one snapshot delta → resume =
+  planned_partitions − committed_partitions. Later snapshots may append
+  more files to a partition, or REPLACE its file set entirely
+  (``compact`` — recorded as ``replaced_partitions`` in the snapshot so
+  readers shadow older deltas; time travel still sees them).
+* Maintenance mirrors Iceberg: ``compact`` = rewrite_data_files,
+  ``expire_before`` = expire_snapshots (reclaims replaced data files,
+  keeps tiny metadata), ``remove_orphans`` = remove_orphan_files
+  (killed-writer debris; safe because visibility is manifest-only).
 """
 
 from __future__ import annotations
@@ -92,13 +99,19 @@ class IceTable:
             return json.load(f)
 
     def manifest_rows(self, version: int | None = None) -> list[dict]:
-        """Cumulative manifest of the snapshot (follows parent chain)."""
+        """Cumulative manifest of the snapshot (follows parent chain).
+        A snapshot that REPLACED a partition (compaction) shadows every
+        older delta for that partition: its own rows are the partition's
+        whole file set and ancestors' rows for it are skipped."""
         rows: list[dict] = []
+        replaced: set[str] = set()
         v = self.current_version() if version is None else version
         while v > 0:
             snap = self.snapshot(v)
             t = pq.read_table(os.path.join(self.path, snap["manifest"]))
-            rows.extend(t.to_pylist())
+            rows.extend(r for r in t.to_pylist()
+                        if r["partition"] not in replaced)
+            replaced |= set(snap.get("replaced_partitions") or [])
             v = snap["parent"]
         return rows
 
@@ -106,7 +119,8 @@ class IceTable:
         return {r["partition"] for r in self.manifest_rows()}
 
     # ----------------------------------------------------------------- read
-    def plan_files(self, where: dict | None = None) -> tuple[list[str], int]:
+    def plan_files(self, where: dict | None = None,
+                   version: int | None = None) -> tuple[list[str], int]:
         """Resolve the snapshot's file list, pruning files whose recorded
         column bounds cannot intersect ``where`` (Iceberg scan-planning
         parity). ``where`` maps column → (lo, hi); either bound may be
@@ -120,7 +134,7 @@ class IceTable:
         every data file and touching the few whose sort-clustered cell
         range overlaps the query window."""
         kept, skipped = [], 0
-        for r in self.manifest_rows():
+        for r in self.manifest_rows(version):
             keep = True
             s = r.get("stats")
             if where and s:
@@ -138,14 +152,17 @@ class IceTable:
                 skipped += 1
         return kept, skipped
 
-    def read(self, spark: SparkSession, where: dict | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, where: dict | None = None,
+             version: int | None = None) -> DataFrame:
         """Snapshot-isolated read: only manifest-listed files; with
         ``where``, only files whose stats ranges can match (see
-        :meth:`plan_files` — callers still apply the row predicate)."""
-        files, _ = self.plan_files(where)
+        :meth:`plan_files` — callers still apply the row predicate).
+        ``version``: time travel — read the table as of that snapshot
+        (valid until :meth:`expire_before` reclaims its files)."""
+        files, _ = self.plan_files(where, version)
         if not files:
             all_files = [os.path.join(self.path, r["file"])
-                         for r in self.manifest_rows()]
+                         for r in self.manifest_rows(version)]
             if not all_files:
                 raise FileNotFoundError(
                     f"icetab {self.path}: no committed snapshot")
@@ -237,10 +254,14 @@ class IceTable:
         shutil.rmtree(staging, ignore_errors=True)
         return pendings
 
-    def commit(self, pending: list[dict], run_id: str) -> int:
+    def commit(self, pending: list[dict], run_id: str,
+               replaced_partitions: list[str] | None = None) -> int:
         """Atomically publish a batch of write_partition results as one new
         snapshot. Kill-safe: tmp-write + fsync + rename; the version hint
-        flips last."""
+        flips last. ``replaced_partitions``: partitions whose pre-existing
+        file sets this snapshot REPLACES rather than appends to
+        (compaction); readers of this and later snapshots skip the old
+        files, older snapshots still see them (time travel)."""
         v_old = self.current_version()
         v_new = v_old + 1
         snap_id = v_new
@@ -260,6 +281,8 @@ class IceTable:
         meta = {"snapshot_id": snap_id, "parent": v_old, "manifest": man_rel,
                 "partitions": sorted({d["partition"] for d in deltas}),
                 "run_id": run_id}
+        if replaced_partitions:
+            meta["replaced_partitions"] = sorted(set(replaced_partitions))
         _write_text_atomic(os.path.join(self.meta_dir, f"v{v_new}.json"),
                            json.dumps(meta, indent=1))
         _write_text_atomic(os.path.join(self.meta_dir, "version-hint.txt"),
@@ -269,6 +292,89 @@ class IceTable:
     def append(self, df: DataFrame, partition: str, run_id: str) -> int:
         """Convenience: write one partition and commit it as one snapshot."""
         return self.commit([self.write_partition(df, partition)], run_id)
+
+    # ----------------------------------------------------- maintenance ops
+    def compact(self, spark: SparkSession, partition: str, run_id: str,
+                stats_cols: list[str] | None = None,
+                target_file_bytes: int = 128 << 20) -> int:
+        """Bin-pack one partition's files into ~``target_file_bytes``
+        files and commit a snapshot that REPLACES the partition's file
+        set (Iceberg ``rewrite_data_files`` parity). The 100 TB story:
+        incremental per-partition appends accumulate small files whose
+        per-file open/footer cost eventually dominates scans; compaction
+        restores large sequential reads without touching other
+        partitions. Old files stay on disk so time-travel reads of older
+        snapshots keep working until :meth:`expire_before` reclaims
+        them. With ``stats_cols`` the rewrite re-sorts within output
+        files so the recorded min/max bounds stay tight for pruning."""
+        rows = [r for r in self.manifest_rows() if r["partition"] == partition]
+        if len(rows) <= 1:
+            return self.current_version()      # nothing to bin-pack
+        paths = [os.path.join(self.path, r["file"]) for r in rows]
+        total = sum(os.path.getsize(p) for p in paths)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = spark.read.parquet(*paths).coalesce(n_out)
+        if stats_cols:
+            df = df.sortWithinPartitions(*stats_cols)
+        pending = self.write_partition(df, partition, stats_cols)
+        return self.commit([pending], run_id,
+                           replaced_partitions=[partition])
+
+    def _snapshot_delta_files(self, version: int) -> set[str]:
+        """Raw file list ADDED by one snapshot's own manifest delta."""
+        snap = self.snapshot(version)
+        t = pq.read_table(os.path.join(self.path, snap["manifest"]),
+                          columns=["file"])
+        return set(t.column("file").to_pylist())
+
+    def expire_before(self, version: int) -> list[str]:
+        """Reclaim data files reachable ONLY from snapshots older than
+        ``version`` (Iceberg ``expire_snapshots`` parity) — i.e. files a
+        later compaction replaced. Deletes nothing that any snapshot
+        >= ``version`` still references, so current reads are untouched;
+        time travel to versions < ``version`` may fail afterwards.
+        Metadata/manifests are kept (they are tiny and the parent chain
+        needs them). Returns the deleted relative paths."""
+        cur = self.current_version()
+        version = max(1, min(int(version), cur))
+        keep: set[str] = set()
+        for v in range(version, cur + 1):
+            keep |= {r["file"] for r in self.manifest_rows(v)}
+        candidates: set[str] = set()
+        for v in range(1, cur + 1):
+            candidates |= self._snapshot_delta_files(v)
+        removed = []
+        for rel in sorted(candidates - keep):
+            try:
+                os.remove(os.path.join(self.path, rel))
+                removed.append(rel)
+            except FileNotFoundError:
+                pass                       # already reclaimed: idempotent
+        return removed
+
+    def remove_orphans(self) -> list[str]:
+        """Delete files under data/ referenced by NO snapshot, plus
+        leftover ``_staging-*`` dirs (Iceberg ``remove_orphan_files``
+        parity) — debris of killed writers whose commit never happened.
+        Safe under snapshot isolation: a file becomes visible only via a
+        committed manifest, so an unreferenced file is unreachable by
+        every reader at every version. Returns deleted relative paths."""
+        ref: set[str] = set()
+        for v in range(1, self.current_version() + 1):
+            ref |= self._snapshot_delta_files(v)
+        removed: list[str] = []
+        for entry in os.listdir(self.path):
+            if entry.startswith("_staging-"):
+                shutil.rmtree(os.path.join(self.path, entry),
+                              ignore_errors=True)
+                removed.append(entry)
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
+                if rel not in ref:
+                    os.remove(os.path.join(dirpath, fn))
+                    removed.append(rel)
+        return sorted(removed)
 
 
 def _file_stats(path: str, cols: list[str] | None) -> str | None:

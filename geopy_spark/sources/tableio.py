@@ -74,6 +74,10 @@ class TableIO(abc.ABC):
         """Write one partition and commit it as one snapshot."""
         return self.commit([self.write_partition(df, partition)], run_id)
 
+    # Maintenance (optional — implementations map to their format's
+    # native procedures; ParquetSnapshotIO inherits real ones from
+    # IceTable: compact / expire_before / remove_orphans).
+
 
 class ParquetSnapshotIO(IceTable, TableIO):
     """The icetab emulation behind the seam (inherits the full
@@ -178,6 +182,37 @@ class IcebergIO(TableIO):
             if not self.spark.catalog.tableExists(f"{self.identifier}_lineage") \
             else lin.writeTo(f"{self.identifier}_lineage").append()
         return int(snap)
+
+    # ------------------------------------------------------- maintenance
+    def compact(self, spark: SparkSession | None, partition: str,
+                run_id: str, stats_cols: list | None = None,
+                target_file_bytes: int = 128 << 20) -> int:
+        """Iceberg's own bin-pack rewrite, scoped to one partition."""
+        col, val = partition.split("=", 1)
+        cat = self.identifier.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {cat}.system.rewrite_data_files(table => "
+            f"'{self.identifier}', where => '{col} = {val!r}', options => "
+            f"map('target-file-size-bytes', '{target_file_bytes}'))")
+        return int(self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").first()[0])
+
+    def expire_before(self, snapshot_id: int) -> list:
+        cat = self.identifier.split(".", 1)[0]
+        ts = self.spark.sql(
+            f"SELECT committed_at FROM {self.identifier}.snapshots "
+            f"WHERE snapshot_id = {int(snapshot_id)}").first()[0]
+        self.spark.sql(
+            f"CALL {cat}.system.expire_snapshots(table => "
+            f"'{self.identifier}', older_than => TIMESTAMP '{ts}')")
+        return []  # Iceberg reports counts, not paths
+
+    def remove_orphans(self) -> list:
+        cat = self.identifier.split(".", 1)[0]
+        self.spark.sql(f"CALL {cat}.system.remove_orphan_files(table => "
+                       f"'{self.identifier}')")
+        return []
 
 
 def open_table(spec: str, spark: SparkSession | None = None) -> TableIO:
