@@ -120,3 +120,22 @@ def test_compacted_table_filters_correctly(spark, table):
     full = table.read(spark).filter(F.col("cell").between(10, 20))
     assert sorted(r.val for r in pruned.collect()) == \
            sorted(r.val for r in full.collect())
+
+
+def test_maintain_table_job(spark, table, tmp_path):
+    """EP-5 CLI end-to-end on an in-session SparkSession: compact-all +
+    expire + orphan sweep, one JSON-able report, table reads unchanged."""
+    import jobs.maintain_table as M
+
+    before = sorted(r.cell for r in table.read(spark).collect())
+    args = M.build_args(["--table", table.path, "--compact-all",
+                         "--stats-cols", "cell", "--expire",
+                         "--remove-orphans"])
+    rep = M.run(args, spark=spark, stop_session=False)
+    assert rep["compacted"]["z=0"]["files_before"] == 6
+    assert rep["compacted"]["z=0"]["files_after"] == 1
+    assert rep["expired"] >= 6  # the replaced z=0 (+z=1) files reclaimed
+    after = sorted(r.cell for r in table.read(spark).collect())
+    assert after == before
+    import json as _json
+    _json.dumps(rep)  # schedulable: report is one JSON line
