@@ -146,9 +146,17 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
                       F.max(F.when(F.col("rk") == k, F.col("dist_m"))).alias("dk"))
                  ).persist()
         transient.append(stats)
-        n_stats = stats.count()
         done = stats.filter((F.col("n_cand") >= k) | F.lit(r >= max_r))
-        n_done = done.count()
+        # ONE driver action per round: both counts from a single agg over
+        # the cached stats (two separate .count() actions measured as the
+        # dominant per-round cost — each Spark job carries fixed schedule
+        # overhead that the tiny stats frame never amortizes)
+        cnt = stats.agg(
+            F.count("*").alias("ns"),
+            F.sum(F.when(F.col("n_cand") >= k, 1).otherwise(0)).alias("nd"),
+        ).first()
+        n_stats = int(cnt.ns)
+        n_done = n_stats if r >= max_r else int(cnt.nd or 0)
         dmax_parts.append(done.select(
             "query_id", F.coalesce("dk", F.lit(0.0)).alias("dk"),
             F.lit(r).alias("r1"), (F.col("n_cand") >= k).alias("full")))
@@ -161,7 +169,16 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         pending = pending.join(done_ids, "query_id", "left_anti")
         cum = cum.join(done_ids, "query_id", "left_anti")
         n_pending -= n_done
-        r_prev, r = r, r * 2
+        # adaptive growth: doubling is right while the pending set is
+        # large (fan-out cost ∝ n_pending × new_cells), but once only a
+        # sparse-region tail remains, paying log2 more rounds of fixed
+        # per-round job overhead for a handful of queries is the wrong
+        # trade — jump the radius so the tail finishes in O(1) rounds.
+        # Phase-1 radius only shapes the candidate SUPERSET (phase 2 is
+        # exact from the dk bound), so any growth schedule is correct.
+        grow = 8 if n_pending * disk_cells(8 * r, 16 * r) <= broadcast_max_cells \
+            else 2
+        r_prev, r = r, min(r * grow, max(max_r, 1))
 
     dmax = dmax_parts[0]
     for p in dmax_parts[1:]:
