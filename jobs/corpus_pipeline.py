@@ -88,6 +88,11 @@ def build_args(argv=None):
                          "(operators/graph) instead of the min-id pair rule")
     ap.add_argument("--fail-after", default=None,
                     help="fault injection: kill after committing this stage")
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="opt-in stage 6: concat-and-chunk the survivors "
+                         "into per-language training sequences of exactly "
+                         "this many tokens (operators/trainprep), committed "
+                         "as a 'sequences' partition")
     return ap.parse_args(argv)
 
 
@@ -145,6 +150,7 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
     params = {"min_quality": args.min_quality, "threshold": args.threshold,
               "num_perm": args.num_perm, "bands": args.bands,
               "exact_components": bool(getattr(args, "exact_components", False)),
+              "pack_budget": getattr(args, "pack_budget", None),
               "input": os.path.abspath(args.input), "layout": 1}
     prev = table.properties()
     if args.resume and prev and prev.get("params") != params:
@@ -242,6 +248,20 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
                  .sortWithinPartitions("lang"))
         _timed("stats", lambda: table.commit(
             [table.write_partition(stats, "stats")], run_id))
+
+    # ---- stage 6 (opt-in): pack survivors into fixed-budget training
+    # sequences per language (operators/trainprep concat-and-chunk) —
+    # the handoff artifact a pretraining loader consumes
+    if getattr(args, "pack_budget", None) and "sequences" not in committed:
+        from geopy_spark.operators.trainprep import pack_sequences
+        pk_in = (feats.join(_maybe_bcast(survivors, n_docs), "doc_id",
+                            "left_semi")
+                 .select("doc_id", "lang", "n_tokens"))
+        _timed("sequences", lambda: table.commit(
+            [table.write_partition(
+                pack_sequences(pk_in, args.pack_budget, shard_col="lang")
+                .sortWithinPartitions("lang", "seq_id"), "sequences")],
+            run_id))
 
     n_surv = table.read_partition(spark, "survivors").count()
     wall = time.monotonic() - t0

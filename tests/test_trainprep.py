@@ -113,3 +113,28 @@ def test_mixture_sample_deterministic_and_tagged(spark, docs):
 
     with pytest.raises(ValueError, match="weight"):
         mixture_sample({"a": a}, {"a": 1.5})
+
+
+def test_corpus_pipeline_packing_stage(spark, tmp_path):
+    """EP-4 --pack-budget: the opt-in stage 6 commits a 'sequences'
+    partition whose layout obeys the exact-fill invariant over the
+    pipeline's actual survivor set."""
+    import jobs.corpus_pipeline as CP
+
+    out = str(tmp_path / "corpus")
+    args = CP.build_args(["--input", f"{SF_DIR}/documents.parquet",
+                          "--output", out, "--pack-budget", str(BUDGET),
+                          "--cores", "8"])
+    res = CP.run(args, spark=spark, stop_session=False)
+    assert "sequences" in res["stage_sec"]
+
+    from geopy_spark.sources.icetab import IceTable
+    packed = IceTable(out).read_partition(spark, "sequences")
+    rep = pack_report(packed, BUDGET, shard_col="lang").toPandas()
+    last = rep.sort_values("seq_id").groupby("lang").tail(1)
+    non_last = rep.merge(last, how="left", indicator=True)
+    assert (non_last.loc[non_last["_merge"] == "left_only", "total_tokens"]
+            == BUDGET).all()
+    # sequences cover exactly the survivor set
+    surv = IceTable(out).read_partition(spark, "survivors")
+    assert packed.select("doc_id").distinct().count() == surv.count()
