@@ -10,9 +10,13 @@ call sites bind to a catalog table instead (documented adapter seam).
 
 Layout:
 
-    <table>/metadata/version-hint.txt   current version N (atomic rename)
-    <table>/metadata/v<N>.json          snapshot: manifest path + parent
-    <table>/manifests/snap-<N>.parquet  rows: (partition, file, rows)
+    <table>/metadata/version-hint.txt   advisory head pointer (see
+                                        current_version: forward walk)
+    <table>/metadata/v<N>.json          snapshot: manifest path + parent;
+                                        claimed EXCLUSIVELY (os.link)
+    <table>/manifests/snap-<id>.parquet rows: (partition, file, rows,
+                                        stats); unique names, referenced
+                                        only from a claimed vN.json
     <table>/data/<partition>/*.parquet  data files (immutable once committed)
     <table>/lineage/snap-<N>.parquet    rows: (run_id, snapshot_id, partition,
                                          rows_out, wall_ms, n_files)
@@ -20,10 +24,13 @@ Layout:
 Invariants:
 * Readers resolve files ONLY through the committed manifest → files written
   by an in-flight (or killed) job are invisible: snapshot isolation.
-* Commit = write manifest + vN.json to temp names, fsync, two renames
-  (json, then hint). A kill at any point leaves the previous snapshot
-  intact. Single-writer discipline (the job scheduler's responsibility at
-  scale; documented limitation vs a real metastore).
+* Commit = write a uniquely-named manifest (invisible), then CLAIM the
+  next vN.json with an exclusive hard link and flip the advisory hint —
+  Iceberg's optimistic-concurrency protocol: racing committers never
+  clobber each other, the loser retries onto the next version (round 3;
+  previously single-writer-by-discipline). A kill at any point leaves
+  the previous snapshot intact and at worst an orphan manifest, which
+  remove_orphans sweeps.
 * Pipelines write each partition in one snapshot delta → resume =
   planned_partitions − committed_partitions. Later snapshots may append
   more files to a partition, or REPLACE its file set entirely
@@ -85,11 +92,20 @@ class IceTable:
                            json.dumps(props, indent=1))
 
     def current_version(self) -> int:
+        """Latest committed version. The hint file is ADVISORY (Iceberg's
+        version-hint semantics): a racing writer may leave it stale or
+        even regressed, so walk forward from the hint until the next
+        vN.json is missing — snapshots are claimed exclusively and
+        sequentially (see commit), so the walk is usually 0 extra stats
+        and always self-heals."""
         hint = os.path.join(self.meta_dir, "version-hint.txt")
-        if not os.path.exists(hint):
-            return 0
-        with open(hint) as f:
-            return int(f.read().strip())
+        v = 0
+        if os.path.exists(hint):
+            with open(hint) as f:
+                v = int(f.read().strip())
+        while os.path.exists(os.path.join(self.meta_dir, f"v{v + 1}.json")):
+            v += 1
+        return v
 
     def snapshot(self, version: int | None = None) -> dict | None:
         v = self.current_version() if version is None else version
@@ -257,36 +273,55 @@ class IceTable:
     def commit(self, pending: list[dict], run_id: str,
                replaced_partitions: list[str] | None = None) -> int:
         """Atomically publish a batch of write_partition results as one new
-        snapshot. Kill-safe: tmp-write + fsync + rename; the version hint
-        flips last. ``replaced_partitions``: partitions whose pre-existing
-        file sets this snapshot REPLACES rather than appends to
-        (compaction); readers of this and later snapshots skip the old
-        files, older snapshots still see them (time travel)."""
-        v_old = self.current_version()
-        v_new = v_old + 1
-        snap_id = v_new
-
+        snapshot — OPTIMISTIC-CONCURRENCY safe (Iceberg's commit
+        protocol): the manifest gets a unique, unreferenced name; the
+        snapshot json is claimed with an exclusive hard link, so two
+        racing committers can never clobber each other — the loser
+        re-reads the head and retries onto the next version (its pending
+        file sets are disjoint partitions-level appends, so the retry is
+        just a new parent pointer). Kill-safe at every step: nothing is
+        visible until the vN.json claim lands; the hint flips last and is
+        advisory (see current_version). ``replaced_partitions``:
+        partitions whose pre-existing file sets this snapshot REPLACES
+        rather than appends to (compaction); readers of this and later
+        snapshots skip the old files, older snapshots still see them
+        (time travel)."""
         deltas = [d for p in pending for d in p["deltas"]]
-        man_rel = os.path.join("manifests", f"snap-{v_new}.parquet")
+        man_rel = os.path.join("manifests", f"snap-{uuid.uuid4().hex}.parquet")
         _write_parquet_atomic(
             pa.Table.from_pylist(deltas, schema=_MANIFEST_SCHEMA),
             os.path.join(self.path, man_rel))
 
-        lin_rows = [{**p["lineage"], "run_id": run_id, "snapshot_id": snap_id}
+        while True:
+            v_old = self.current_version()
+            v_new = v_old + 1
+            meta = {"snapshot_id": v_new, "parent": v_old,
+                    "manifest": man_rel,
+                    "partitions": sorted({d["partition"] for d in deltas}),
+                    "run_id": run_id}
+            if replaced_partitions:
+                meta["replaced_partitions"] = sorted(set(replaced_partitions))
+            if _claim_exclusive(os.path.join(self.meta_dir, f"v{v_new}.json"),
+                                json.dumps(meta, indent=1)):
+                break   # we own version v_new
+
+        # lineage after the claim: a losing attempt must not double-append
+        lin_rows = [{**p["lineage"], "run_id": run_id, "snapshot_id": v_new}
                     for p in pending]
         _write_parquet_atomic(
             pa.Table.from_pylist(lin_rows, schema=_LINEAGE_SCHEMA),
-            os.path.join(self.lineage_dir, f"snap-{v_new}.parquet"))
+            os.path.join(self.lineage_dir, f"snap-{uuid.uuid4().hex}.parquet"))
 
-        meta = {"snapshot_id": snap_id, "parent": v_old, "manifest": man_rel,
-                "partitions": sorted({d["partition"] for d in deltas}),
-                "run_id": run_id}
-        if replaced_partitions:
-            meta["replaced_partitions"] = sorted(set(replaced_partitions))
-        _write_text_atomic(os.path.join(self.meta_dir, f"v{v_new}.json"),
-                           json.dumps(meta, indent=1))
-        _write_text_atomic(os.path.join(self.meta_dir, "version-hint.txt"),
-                           str(v_new))
+        # monotonic best-effort hint; any lost race that regresses it is
+        # healed by the forward walk in current_version
+        hint = os.path.join(self.meta_dir, "version-hint.txt")
+        try:
+            with open(hint) as f:
+                stale = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            stale = 0
+        if v_new > stale:
+            _write_text_atomic(hint, str(v_new))
         return v_new
 
     def append(self, df: DataFrame, partition: str, run_id: str) -> int:
@@ -360,8 +395,10 @@ class IceTable:
         committed manifest, so an unreferenced file is unreachable by
         every reader at every version. Returns deleted relative paths."""
         ref: set[str] = set()
+        man_ref: set[str] = set()
         for v in range(1, self.current_version() + 1):
             ref |= self._snapshot_delta_files(v)
+            man_ref.add(self.snapshot(v)["manifest"])
         removed: list[str] = []
         for entry in os.listdir(self.path):
             if entry.startswith("_staging-"):
@@ -374,6 +411,13 @@ class IceTable:
                 if rel not in ref:
                     os.remove(os.path.join(dirpath, fn))
                     removed.append(rel)
+        # manifests written by commit attempts that never claimed a
+        # version (kill between manifest write and claim) are orphans too
+        for fn in os.listdir(self.manifest_dir):
+            rel = os.path.join("manifests", fn)
+            if fn.endswith(".parquet") and rel not in man_ref:
+                os.remove(os.path.join(self.manifest_dir, fn))
+                removed.append(rel)
         return sorted(removed)
 
 
@@ -421,6 +465,26 @@ def _fsync_dir(path: str) -> None:
         os.fsync(fd)
     finally:
         os.close(fd)
+
+
+def _claim_exclusive(path: str, content: str) -> bool:
+    """Atomically create ``path`` with ``content`` IFF it does not exist
+    (os.link fails with EEXIST — the POSIX exclusive-claim primitive),
+    fsynced before the claim so a winner's snapshot is durable. Returns
+    False when another writer owns the path."""
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        _fsync_dir(path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
 
 
 def _write_text_atomic(path: str, content: str) -> None:

@@ -139,3 +139,51 @@ def test_maintain_table_job(spark, table, tmp_path):
     assert after == before
     import json as _json
     _json.dumps(rep)  # schedulable: report is one JSON line
+
+
+def test_optimistic_commit_never_clobbers(spark, tmp_path):
+    """Iceberg-style commit protocol: an exclusive claim on vN.json plus
+    an advisory hint. A regressed hint (simulated racer) must neither
+    clobber an existing snapshot nor fork the chain — the next commit
+    walks forward and lands on a fresh version with the true parent."""
+    import os as _os
+    from geopy_spark.sources.icetab import _claim_exclusive
+
+    t = IceTable(str(tmp_path / "occ"))
+    t.commit([t.write_partition(spark.createDataFrame(_pdf(0, 10)), "z=0")], "r1")
+    t.commit([t.write_partition(spark.createDataFrame(_pdf(10, 20)), "z=1")], "r2")
+    assert t.current_version() == 2
+
+    # regress the hint as a racing writer's stale flip would
+    with open(_os.path.join(t.meta_dir, "version-hint.txt"), "w") as f:
+        f.write("1")
+    assert t.current_version() == 2  # forward walk heals the hint
+    v = t.commit([t.write_partition(
+        spark.createDataFrame(_pdf(20, 30)), "z=2")], "r3")
+    assert v == 3 and t.snapshot(3)["parent"] == 2
+    assert t.read(spark).count() == 30  # nothing lost, chain intact
+
+    # the claim primitive itself: second writer loses, content preserved
+    p = str(tmp_path / "claim.json")
+    assert _claim_exclusive(p, "winner") is True
+    assert _claim_exclusive(p, "loser") is False
+    assert open(p).read() == "winner"
+
+
+def test_orphan_manifest_sweep(spark, tmp_path):
+    """A commit attempt killed between manifest write and version claim
+    leaves an unreferenced manifest; remove_orphans deletes exactly it."""
+    import os as _os
+
+    t = IceTable(str(tmp_path / "om"))
+    t.commit([t.write_partition(spark.createDataFrame(_pdf(0, 10)), "z=0")], "r1")
+    stray = _os.path.join(t.manifest_dir, "snap-deadbeef.parquet")
+    real = [t.snapshot(1)["manifest"]]
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    _pq.write_table(_pa.table({"partition": ["z=9"], "file": ["x"],
+                               "rows": [0], "stats": [None]}), stray)
+    removed = t.remove_orphans()
+    assert ["manifests/snap-deadbeef.parquet"] == removed
+    assert all(_os.path.exists(_os.path.join(t.path, m)) for m in real)
+    assert t.read(spark).count() == 10
