@@ -169,12 +169,21 @@ class IceTable:
         return kept, skipped
 
     def read(self, spark: SparkSession, where: dict | None = None,
-             version: int | None = None) -> DataFrame:
+             version: int | None = None,
+             merge_schema: bool = False) -> DataFrame:
         """Snapshot-isolated read: only manifest-listed files; with
         ``where``, only files whose stats ranges can match (see
         :meth:`plan_files` — callers still apply the row predicate).
         ``version``: time travel — read the table as of that snapshot
-        (valid until :meth:`expire_before` reclaims its files)."""
+        (valid until :meth:`expire_before` reclaims its files).
+        ``merge_schema``: schema-evolution reads (Iceberg add-column
+        parity) — union the columns across files written under different
+        schemas, nulling the ones a file predates; off by default
+        because the footer-merge pass costs one extra metadata read per
+        file."""
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         files, _ = self.plan_files(where, version)
         if not files:
             all_files = [os.path.join(self.path, r["file"])
@@ -184,8 +193,8 @@ class IceTable:
                     f"icetab {self.path}: no committed snapshot")
             # every file pruned: empty frame with the table schema
             # (footer-only read)
-            return spark.read.parquet(all_files[0]).limit(0)
-        return spark.read.parquet(*files)
+            return reader.parquet(*all_files).limit(0)
+        return reader.parquet(*files)
 
     def read_partition(self, spark: SparkSession, partition: str) -> DataFrame:
         files = [os.path.join(self.path, r["file"])

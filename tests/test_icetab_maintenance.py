@@ -187,3 +187,70 @@ def test_orphan_manifest_sweep(spark, tmp_path):
     assert ["manifests/snap-deadbeef.parquet"] == removed
     assert all(_os.path.exists(_os.path.join(t.path, m)) for m in real)
     assert t.read(spark).count() == 10
+
+
+def test_concurrent_commits_stress():
+    """20 committers × 2 threads racing on one table: every commit must
+    land on its own version (exclusive claim), the chain must stay
+    linear and complete, and no manifest may be lost — the scenario the
+    round-2 single-writer discipline could not survive. Pure metadata
+    path: pendings are synthetic, no Spark needed."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    with tempfile.TemporaryDirectory() as d:
+        t = IceTable(d)
+
+        def committer(tag):
+            got = []
+            for i in range(20):
+                pending = {"deltas": [{"partition": f"p={tag}-{i}",
+                                       "file": f"data/p={tag}-{i}/f.parquet",
+                                       "rows": 1, "stats": None}],
+                           "lineage": {"partition": f"p={tag}-{i}",
+                                       "rows_out": 1, "wall_ms": 0,
+                                       "n_files": 1}}
+                got.append(t.commit([pending], f"run-{tag}"))
+            return got
+
+        with ThreadPoolExecutor(2) as ex:
+            a, b = ex.map(committer, ["a", "b"])
+
+        # every commit owns a distinct version, nothing clobbered
+        assert sorted(list(a) + list(b)) == list(range(1, 41))
+        assert t.current_version() == 40
+        # the parent chain is linear and every delta is reachable
+        manifests = set()
+        for v in range(1, 41):
+            snap = t.snapshot(v)
+            assert snap["parent"] == v - 1
+            manifests.add(snap["manifest"])
+        assert len(manifests) == 40
+        parts = {r["partition"] for r in t.manifest_rows()}
+        assert len(parts) == 40
+        assert t.committed_partitions() == parts
+
+
+def test_schema_evolution_read(spark):
+    """Iceberg add-column parity: later snapshots may add columns;
+    merge_schema=True reads union the schemas (old files null-fill),
+    plain reads and time travel keep the original shape."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        t = IceTable(d)
+        t.commit([t.write_partition(
+            spark.createDataFrame(_pdf(0, 10)), "z=0")], "r1")
+        with_extra = spark.createDataFrame(
+            pd.DataFrame({"cell": range(10, 20), "val": range(10, 20),
+                          "lang": ["en"] * 10}))
+        t.commit([t.write_partition(with_extra, "z=1")], "r2")
+
+        merged = t.read(spark, merge_schema=True)
+        assert set(merged.columns) == {"cell", "val", "lang"}
+        assert merged.count() == 20
+        assert merged.filter(F.col("lang").isNull()).count() == 10  # old files
+        assert merged.filter(F.col("lang") == "en").count() == 10
+        # time travel predates the column entirely
+        assert set(t.read(spark, version=1, merge_schema=True).columns) \
+            == {"cell", "val"}
