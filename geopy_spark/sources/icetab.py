@@ -18,8 +18,9 @@ Layout:
                                         stats); unique names, referenced
                                         only from a claimed vN.json
     <table>/data/<partition>/*.parquet  data files (immutable once committed)
-    <table>/lineage/snap-<N>.parquet    rows: (run_id, snapshot_id, partition,
-                                         rows_out, wall_ms, n_files)
+    <table>/lineage/snap-<id>.parquet   rows: (run_id, snapshot_id, partition,
+                                         rows_out, wall_ms, n_files);
+                                         unique names, append-only
 
 Invariants:
 * Readers resolve files ONLY through the committed manifest → files written
