@@ -385,7 +385,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 98,
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline JFIF/EXIF bytes -> RGB uint8 (H,W,3). Grayscale files
-    are expanded to 3 channels."""
+    are expanded to 3 channels. Malformed/truncated input raises
+    ValueError (never a bare IndexError) — ingest at scale sees corrupt
+    payloads and the operator layer maps per-row errors by type."""
+    try:
+        return _decode_jpeg(buf)
+    except (IndexError, KeyError, ZeroDivisionError) as e:
+        raise ValueError(f"jpeg: malformed or truncated stream ({e!r})") \
+            from e
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI marker")
     p = 2

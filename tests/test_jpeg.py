@@ -197,3 +197,24 @@ def test_jpeg_as_engine_lossy_invariant(spark):
         src = C2.decode(r.obytes, r.ofmt, int(r.w), int(r.h))
         out = C2.decode(r.bytes, "jpeg", int(r.w), int(r.h))
         assert C2.psnr(src, out) >= 40.0, r.image_id
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(2, 400), flip_at=st.integers(0, 399),
+       flip_to=st.integers(0, 255), seed=st.integers(0, 1000))
+def test_jpeg_decoder_never_hangs_on_corruption(cut, flip_at, flip_to, seed):
+    """Truncated or bit-flipped streams must produce a CLEAN outcome —
+    either a decoded image or a ValueError/NotImplementedError family
+    error — never an unhandled IndexError/infinite loop (ingest at scale
+    sees corrupt payloads; the operator layer maps errors per-row)."""
+    img = np.random.default_rng(seed).integers(0, 256, (16, 16, 3),
+                                               dtype=np.uint8)
+    buf = bytearray(J.encode_jpeg(img))
+    buf = buf[:max(2, min(cut, len(buf)))]           # truncate
+    if flip_at < len(buf):
+        buf[flip_at] = flip_to                       # and corrupt a byte
+    try:
+        out = J.decode_jpeg(bytes(buf))
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except (ValueError, NotImplementedError):
+        pass  # the decoder's documented failure contract — nothing else
