@@ -189,6 +189,20 @@ def main() -> None:
 
     skew = skew_experiment(spark, sf_dir)
 
+    # round-3 image-axis extra (NOT in the headline total, which stays
+    # the round-1 query set for comparability): banded phash-Hamming LSH
+    # image near-dup at sf0.1, median of 3 warm runs
+    import __spark_entry__ as _entry
+    imq = _entry.queries()["image_neardup"]
+    imq(spark, sf_dir).count()  # cold pass
+    im_runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        im_rows = imq(spark, sf_dir).count()
+        im_runs.append(round(time.monotonic() - t0, 3))
+    extras = {"image_neardup_sec": round(statistics.median(im_runs), 3),
+              "image_neardup_rows": int(im_rows)}
+
     total = round(sum(times.values()), 3)
     n_pts = load_table(spark, sf_dir, "lineitem").count()
     print(json.dumps({
@@ -202,6 +216,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "counts": counts,
         "skew_experiment": skew,
+        "extras": extras,
         "two_level_scaling": _latest_scaling(),
         "spatial_rows_per_sec": round(n_pts / max(times["spatial_join"], 1e-9), 1),
         "cores": cores,
