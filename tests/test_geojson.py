@@ -1,0 +1,95 @@
+"""GeoJSON source/sink (sources/geojson — RFC 7946): axis-order flip,
+ring closure, FeatureCollection explode, roundtrip exactness, and
+spatial-join equivalence between native regions and a GeoJSON roundtrip
+of them (the real acceptance bar: the interchange path must not move a
+single join row)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopy_spark import synth
+from geopy_spark.entry_queries import _REGIONS_SCHEMA
+from geopy_spark.sources.geojson import read_geojson, to_geojson
+
+
+@pytest.fixture(scope="module")
+def regions(spark):
+    return spark.createDataFrame(synth.polygons_pdf(synth.oracle_polygons(12)),
+                                 schema=_REGIONS_SCHEMA).persist()
+
+
+def test_roundtrip_exact(spark, regions):
+    gj = to_geojson(regions)
+    back = read_geojson(gj)
+    a = {r.poly_id: r.ring for r in regions.collect()}
+    b = {r.poly_id: [list(v) for v in r.ring] for r in back.collect()}
+    assert set(a) == set(b)
+    for pid in a:
+        assert [list(v) for v in a[pid]] == b[pid], pid
+    # bboxes recomputed on read match the fixture's stored bboxes
+    joined = back.alias("b").join(regions.alias("r"), "poly_id") \
+        .select(*[F.abs(F.col(f"b.{c}") - F.col(f"r.{c}")).alias(c)
+                  for c in ("lat_min", "lat_max", "lon_min", "lon_max")])
+    assert all(max(row) < 1e-9 for row in joined.collect())
+    assert {r.geom_type for r in back.collect()} == {"Polygon"}
+
+
+def test_rfc_conventions_on_the_wire(spark, regions):
+    """The emitted JSON is genuinely RFC 7946: [lon, lat] positions and
+    a closed linear ring."""
+    row = to_geojson(regions).first()
+    f = json.loads(row.geojson)
+    assert f["type"] == "Feature" and f["geometry"]["type"] == "Polygon"
+    ring = f["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]  # closed
+    src = {r.poly_id: r.ring for r in regions.collect()}[int(f["id"])]
+    assert ring[0] == [src[0][1], src[0][0]]  # [lon, lat] order
+
+
+def test_feature_collection_and_foreign_features(spark):
+    """A FeatureCollection written by another tool: string ids, extra
+    properties, a non-Polygon geometry surfaced (not dropped)."""
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "7",
+         "properties": {"name": "alpha", "pop": "12"},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[10.0, 50.0], [11.0, 50.0], [11.0, 51.0],
+                        [10.0, 50.0]]]}},
+        {"type": "Feature", "id": "x1", "properties": None,
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]}},
+    ]}
+    df = spark.createDataFrame([(json.dumps(fc),)], "geojson string")
+    out = read_geojson(df, collection=True).collect()
+    assert len(out) == 2
+    byname = {r.name: r for r in out}
+    a = byname["alpha"]
+    assert a.poly_id == 7 and a.properties["pop"] == "12"
+    assert [list(v) for v in a.ring] == [[50.0, 10.0], [50.0, 11.0],
+                                         [51.0, 11.0]]  # flipped + opened
+    x = byname["x1"]  # non-numeric id: deterministic hash, name from id
+    assert x.poly_id >= 0
+    again = read_geojson(df, collection=True).collect()
+    assert {r.poly_id for r in again} == {r.poly_id for r in out}
+
+
+def test_spatial_join_equivalence_through_geojson(spark, regions):
+    """The acceptance bar: running the engine's spatial join against a
+    GeoJSON roundtrip of the regions returns the identical row set."""
+    from geopy_spark.operators.spatial_join import spatial_join
+
+    ppdf = synth.make_images_pdf(3000, with_pixels=False)[
+        ["image_id", "lat", "lon"]].rename(columns={"image_id": "point_id"})
+    pts = spark.createDataFrame(ppdf)
+    native = {(r.point_id, r.poly_id)
+              for r in spatial_join(pts, regions, point_id="point_id",
+                                    level=6).collect()}
+    rt = read_geojson(to_geojson(regions)) \
+        .select("poly_id", "name", "ring",
+                "lat_min", "lat_max", "lon_min", "lon_max")
+    roundtrip = {(r.point_id, r.poly_id)
+                 for r in spatial_join(pts, rt, point_id="point_id",
+                                       level=6).collect()}
+    assert native == roundtrip and len(native) > 0
