@@ -85,3 +85,51 @@ def to_geojson(regions: DataFrame, ring_col: str = "ring") -> DataFrame:
                  coords.alias("coordinates")).alias("geometry"),
     )
     return regions.select("poly_id", F.to_json(feature).alias("geojson"))
+
+
+# --------------------------------------------------------------------- WKT
+
+def read_wkt(df: DataFrame, wkt_col: str = "wkt",
+             id_col: str | None = None) -> DataFrame:
+    """Parse a WKT ``POLYGON ((lon lat, ...))`` column (the other
+    ubiquitous interchange text format — OGC Simple Features) into the
+    regions shape. Same conventions as GeoJSON: positions are x y =
+    lon lat, rings are closed on the wire and opened here; only the
+    outer ring is taken (holes are cover-unsupported); the geometry
+    keyword is surfaced as ``geom_type`` so MULTIPOLYGON etc. can be
+    filtered/reported, never silently mis-parsed. Pure Column algebra
+    (regexp + split + transform)."""
+    gtype = F.upper(F.trim(F.regexp_extract(F.col(wkt_col),
+                                            r"^\s*([A-Za-z]+)", 1)))
+    inner = F.regexp_extract(F.col(wkt_col), r"\(\(([^)]*)\)", 1)
+    pairs = F.split(inner, r"\s*,\s*")
+    # try_cast: unsupported geometries (MULTIPOLYGON's extra paren lands
+    # inside the token) parse to null coordinates instead of an ANSI cast
+    # error — geom_type tells the caller why
+    closed = F.transform(pairs, lambda s: F.array(
+        F.split(F.trim(s), r"\s+").getItem(1).try_cast("double"),
+        F.split(F.trim(s), r"\s+").getItem(0).try_cast("double")))
+    ring = F.slice(closed, 1, F.greatest(F.size(closed) - 1, F.lit(1)))
+    lats = F.transform(ring, lambda v: v.getItem(0))
+    lons = F.transform(ring, lambda v: v.getItem(1))
+    pid = F.col(id_col).cast("long") if id_col else \
+        F.abs(F.xxhash64(F.col(wkt_col)))
+    return df.select(
+        pid.alias("poly_id"),
+        ring.alias("ring"),
+        F.array_min(lats).alias("lat_min"), F.array_max(lats).alias("lat_max"),
+        F.array_min(lons).alias("lon_min"), F.array_max(lons).alias("lon_max"),
+        gtype.alias("geom_type"),
+    )
+
+
+def to_wkt(regions: DataFrame, ring_col: str = "ring") -> DataFrame:
+    """regions → (poly_id, wkt) POLYGON strings (ring re-closed,
+    lon-lat order)."""
+    closed = F.concat(F.col(ring_col), F.slice(F.col(ring_col), 1, 1))
+    pts = F.transform(closed, lambda p: F.concat_ws(
+        " ", p.getItem(1).cast("string"), p.getItem(0).cast("string")))
+    return regions.select(
+        "poly_id",
+        F.concat(F.lit("POLYGON (("), F.array_join(pts, ", "),
+                 F.lit("))")).alias("wkt"))

@@ -93,3 +93,45 @@ def test_spatial_join_equivalence_through_geojson(spark, regions):
                  for r in spatial_join(pts, rt, point_id="point_id",
                                        level=6).collect()}
     assert native == roundtrip and len(native) > 0
+
+
+def test_wkt_roundtrip_and_join_equivalence(spark, regions):
+    from geopy_spark.operators.spatial_join import spatial_join
+    from geopy_spark.sources.geojson import read_wkt, to_wkt
+
+    wkt = to_wkt(regions)
+    row = wkt.first()
+    assert row.wkt.startswith("POLYGON ((") and row.wkt.endswith("))")
+    first_pair = row.wkt[len("POLYGON (("):].split(",")[0].split()
+    src = {r.poly_id: r.ring for r in regions.collect()}[row.poly_id]
+    assert [float(x) for x in first_pair] == [src[0][1], src[0][0]]  # lon lat
+
+    back = read_wkt(wkt, id_col="poly_id").withColumn("name", F.lit("w"))
+    a = {r.poly_id: [list(v) for v in r.ring] for r in regions.collect()}
+    b = {r.poly_id: [list(v) for v in r.ring] for r in back.collect()}
+    assert a == b
+    assert {r.geom_type for r in back.collect()} == {"POLYGON"}
+
+    ppdf = synth.make_images_pdf(2000, with_pixels=False)[
+        ["image_id", "lat", "lon"]].rename(columns={"image_id": "point_id"})
+    pts = spark.createDataFrame(ppdf)
+    native = {(r.point_id, r.poly_id)
+              for r in spatial_join(pts, regions, point_id="point_id",
+                                    level=6).collect()}
+    rt = {(r.point_id, r.poly_id)
+          for r in spatial_join(pts, back, point_id="point_id",
+                                level=6).collect()}
+    assert native == rt and len(native) > 0
+
+
+def test_wkt_multipolygon_surfaced(spark):
+    from geopy_spark.sources.geojson import read_wkt
+
+    df = spark.createDataFrame(
+        [("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",),
+         ("POLYGON ((0 0, 2 0, 2 2, 0 0))",)], "wkt string")
+    out = read_wkt(df).collect()
+    assert sorted(r.geom_type for r in out) == ["MULTIPOLYGON", "POLYGON"]
+    poly = next(r for r in out if r.geom_type == "POLYGON")
+    assert [list(v) for v in poly.ring] == [[0.0, 0.0], [0.0, 2.0],
+                                            [2.0, 2.0]]
