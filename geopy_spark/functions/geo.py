@@ -114,3 +114,46 @@ def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
          f"pow(sin((radians({lon2}) - radians({lon1}))/2), 2))")
     a_cl = f"least(greatest({a}, 0.0), 1.0)"
     return f"(2.0 * {EARTH_RADIUS_M!r} * atan2(sqrt({a_cl}), sqrt(1.0 - {a_cl})))"
+
+
+def tile_bounds(z: Column, x: Column, y: Column) -> Column:
+    """Inverse Web-Mercator tile math: (z,x,y) → struct(lat_min, lat_max,
+    lon_min, lon_max) of the tile's geographic bbox — per-row z, pure
+    Column algebra. The north edge is y (mercator y grows southward);
+    latitudes come from atan(sinh(π(1 − 2y/2^z)))."""
+    n = F.pow(F.lit(2.0), z.cast("double"))
+    xd, yd = x.cast("double"), y.cast("double")
+
+    def lat_of(row: Column) -> Column:
+        t = F.lit(3.141592653589793) * (F.lit(1.0) - F.lit(2.0) * row / n)
+        return F.degrees(F.atan(F.sinh(t)))
+
+    return F.struct(
+        lat_of(yd + 1.0).alias("lat_min"),
+        lat_of(yd).alias("lat_max"),
+        (xd / n * 360.0 - 180.0).alias("lon_min"),
+        ((xd + 1.0) / n * 360.0 - 180.0).alias("lon_max"),
+    )
+
+
+def tiles_to_geojson(tiles: "DataFrame", z: str = "z", x: str = "x",
+                     y: str = "y"):
+    """Tile rows → GeoJSON Feature strings of each tile's bbox polygon
+    (the map-viewer handoff: any web map can overlay the pyramid).
+    Returns (poly_id, geojson) with poly_id = the packed tile key and
+    name = "z/x/y". Composes tile_bounds with sources/geojson.to_geojson
+    — all Column algebra."""
+    from ..sources.geojson import to_geojson
+    b = tile_bounds(F.col(z), F.col(x), F.col(y))
+    ring = F.array(
+        F.array(b["lat_min"], b["lon_min"]),
+        F.array(b["lat_min"], b["lon_max"]),
+        F.array(b["lat_max"], b["lon_max"]),
+        F.array(b["lat_max"], b["lon_min"]))
+    regions = tiles.select(
+        (F.col(z).cast("long") * F.lit(2 ** 58)
+         + F.col(x).cast("long") * F.lit(2 ** 29)
+         + F.col(y).cast("long")).alias("poly_id"),
+        F.concat_ws("/", F.col(z), F.col(x), F.col(y)).alias("name"),
+        ring.alias("ring"))
+    return to_geojson(regions)

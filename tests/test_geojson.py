@@ -135,3 +135,38 @@ def test_wkt_multipolygon_surfaced(spark):
     poly = next(r for r in out if r.geom_type == "POLYGON")
     assert [list(v) for v in poly.ring] == [[0.0, 0.0], [0.0, 2.0],
                                             [2.0, 2.0]]
+
+
+def test_tile_bounds_and_geojson_handoff(spark):
+    """Inverse tile math agrees with the forward tile assignment: every
+    point falls inside the bbox of its own tile (strictly inside at the
+    bounds' open edges modulo the shared boundary), and the emitted
+    GeoJSON parses back to the same bbox."""
+    import json as _json
+    from geopy_spark.functions import geo
+
+    z = 6
+    pdf = synth.make_images_pdf(500, with_pixels=False)[
+        ["image_id", "lat", "lon"]]
+    df = spark.createDataFrame(pdf).select(
+        "lat", "lon",
+        geo.tile_x(F.col("lon"), z).alias("x"),
+        geo.tile_y(F.col("lat"), z).alias("y"),
+        F.lit(z).alias("z"))
+    b = geo.tile_bounds(F.col("z"), F.col("x"), F.col("y"))
+    bad = df.select(
+        ((F.col("lon") < b["lon_min"] - 1e-9)
+         | (F.col("lon") >= b["lon_max"] + 1e-9)
+         | (F.col("lat") < b["lat_min"] - 1e-9)
+         | (F.col("lat") > b["lat_max"] + 1e-9)).alias("out")) \
+        .filter("out").count()
+    assert bad == 0
+
+    gj = geo.tiles_to_geojson(df.select("z", "x", "y").distinct())
+    row = gj.first()
+    f = _json.loads(row.geojson)
+    assert f["geometry"]["type"] == "Polygon"
+    zs, xs, ys = (int(v) for v in f["properties"]["name"].split("/"))
+    assert zs == z
+    back = read_geojson(gj).filter(F.col("poly_id") == row.poly_id).first()
+    assert abs(back.lon_max - back.lon_min - 360.0 / 2 ** z) < 1e-9
