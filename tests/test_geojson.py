@@ -124,6 +124,87 @@ def test_wkt_roundtrip_and_join_equivalence(spark, regions):
     assert native == rt and len(native) > 0
 
 
+def test_multipolygon_read_parts_and_join_union(spark):
+    """A MultiPolygon Feature explodes to one region row per member
+    polygon sharing the Feature's poly_id — and the spatial join then
+    gives RFC 7946 union-of-parts containment with no operator change
+    (G6 dedups pairs on poly_id)."""
+    from geopy_spark.operators.spatial_join import spatial_join
+
+    mp = {"type": "Feature", "id": "9",
+          "properties": {"name": "twin"},
+          "geometry": {"type": "MultiPolygon", "coordinates": [
+              [[[10.0, 50.0], [12.0, 50.0], [12.0, 52.0], [10.0, 52.0],
+                [10.0, 50.0]]],
+              [[[30.0, 50.0], [32.0, 50.0], [32.0, 52.0], [30.0, 52.0],
+                [30.0, 50.0]]],
+          ]}}
+    df = spark.createDataFrame([(json.dumps(mp),)], "geojson string")
+    rows = read_geojson(df).collect()
+    assert [r.part for r in rows] == [0, 1]
+    assert {r.poly_id for r in rows} == {9}
+    assert {r.geom_type for r in rows} == {"MultiPolygon"}
+    # part 0 ring flipped+opened
+    assert [list(v) for v in rows[0].ring] == [
+        [50.0, 10.0], [50.0, 12.0], [52.0, 12.0], [52.0, 10.0]]
+
+    regions = spark.createDataFrame(rows).select(
+        "poly_id", "name", "ring",
+        "lat_min", "lat_max", "lon_min", "lon_max")
+    pts = spark.createDataFrame(
+        [(1, 51.0, 11.0),    # inside part 0
+         (2, 51.0, 31.0),    # inside part 1
+         (3, 51.0, 20.0),    # between the parts
+         (4, 10.0, 11.0)],   # far away
+        "point_id long, lat double, lon double")
+    got = {(r.point_id, r.poly_id)
+           for r in spatial_join(pts, regions, point_id="point_id",
+                                 level=6).collect()}
+    assert got == {(1, 9), (2, 9)}
+
+
+def test_multipolygon_roundtrip_multi_emit(spark):
+    """read ∘ to_geojson_multi reproduces the part rows exactly, and a
+    hash-id MultiPolygon keeps ONE id across its part rows."""
+    from geopy_spark.sources.geojson import to_geojson_multi
+
+    mp = {"type": "Feature", "id": "9", "properties": {"name": "twin"},
+          "geometry": {"type": "MultiPolygon", "coordinates": [
+              [[[10.0, 50.0], [12.0, 50.0], [12.0, 52.0], [10.0, 50.0]]],
+              [[[30.0, 50.0], [32.0, 50.0], [32.0, 52.0], [30.0, 50.0]]],
+          ]}}
+    noid = {k: v for k, v in mp.items() if k != "id"}
+    df = spark.createDataFrame([(json.dumps(mp),), (json.dumps(noid),)],
+                               "geojson string")
+    first = read_geojson(df).collect()
+    assert len(first) == 4
+    assert len({r.poly_id for r in first}) == 2  # one id per feature
+    back = read_geojson(to_geojson_multi(spark.createDataFrame(first)
+                                         .select("poly_id", "part", "name",
+                                                 "ring"))).collect()
+    a = {(r.poly_id, r.part): [list(v) for v in r.ring] for r in first}
+    b = {(r.poly_id, r.part): [list(v) for v in r.ring] for r in back}
+    # emitted ids are the original poly_ids (numeric strings), so the
+    # keys and rings must match exactly
+    assert a == b
+    assert {r.geom_type for r in back} == {"MultiPolygon"}
+
+
+def test_geojson_unsupported_geometry_surfaced(spark):
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "1", "properties": {"name": "pt"},
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+        {"type": "Feature", "id": "2", "properties": {"name": "sq"},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]}},
+    ]}
+    df = spark.createDataFrame([(json.dumps(fc),)], "geojson string")
+    out = {r.name: r for r in read_geojson(df, collection=True).collect()}
+    assert len(out) == 2  # the Point row is surfaced, not dropped
+    assert out["pt"].geom_type == "Point" and out["pt"].ring is None
+    assert out["sq"].geom_type == "Polygon" and out["sq"].part == 0
+
+
 def test_wkt_multipolygon_surfaced(spark):
     from geopy_spark.sources.geojson import read_wkt
 
