@@ -164,35 +164,55 @@ def to_geojson_multi(regions: DataFrame, ring_col: str = "ring",
 
 def read_wkt(df: DataFrame, wkt_col: str = "wkt",
              id_col: str | None = None) -> DataFrame:
-    """Parse a WKT ``POLYGON ((lon lat, ...))`` column (the other
-    ubiquitous interchange text format — OGC Simple Features) into the
-    regions shape. Same conventions as GeoJSON: positions are x y =
-    lon lat, rings are closed on the wire and opened here; only the
-    outer ring is taken (holes are cover-unsupported); the geometry
-    keyword is surfaced as ``geom_type`` so MULTIPOLYGON etc. can be
-    filtered/reported, never silently mis-parsed. Pure Column algebra
-    (regexp + split + transform)."""
-    gtype = F.upper(F.trim(F.regexp_extract(F.col(wkt_col),
-                                            r"^\s*([A-Za-z]+)", 1)))
-    inner = F.regexp_extract(F.col(wkt_col), r"\(\(([^)]*)\)", 1)
-    pairs = F.split(inner, r"\s*,\s*")
-    # try_cast: unsupported geometries (MULTIPOLYGON's extra paren lands
-    # inside the token) parse to null coordinates instead of an ANSI cast
-    # error — geom_type tells the caller why
+    """Parse a WKT ``POLYGON ((lon lat, ...))`` or ``MULTIPOLYGON``
+    column (the other ubiquitous interchange text format — OGC Simple
+    Features) into the regions shape. Same conventions as GeoJSON:
+    positions are x y = lon lat, rings are closed on the wire and opened
+    here; only the outer ring of each polygon is taken (holes are
+    cover-unsupported); a MULTIPOLYGON explodes to one row per member
+    polygon (``part``) sharing the row's poly_id, so the spatial join's
+    poly_id pair-dedup gives union-of-parts containment. Other geometry
+    keywords surface as ``geom_type`` with a null ring — never silently
+    mis-parsed. Pure Column algebra (regexp + split + transform).
+
+    MULTIPOLYGON splitting: member polygons are separated by a
+    double-paren boundary ``)), ((`` — a hole boundary INSIDE one
+    polygon is a single ``), (`` and never matches — then each part's
+    outer ring is the text before its first ``)`` (dropping holes),
+    after stripping the keyword/paren prefix on the first part."""
+    wkt = F.col(wkt_col)
+    gtype = F.upper(F.trim(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1)))
+    parts_txt = (
+        F.when(gtype == "POLYGON",
+               F.array(F.regexp_extract(wkt, r"\(\(([^)]*)\)", 1)))
+        .when(gtype == "MULTIPOLYGON",
+              F.transform(
+                  F.split(wkt, r"\)\s*\)\s*,\s*\(\s*\("),
+                  # coordinates start with a digit/sign, so the prefix
+                  # run of letters/spaces/parens is only ever the
+                  # "MULTIPOLYGON (((" head of the first part
+                  lambda s: F.regexp_extract(
+                      s, r"^[A-Za-z\s]*\(*\s*([^()]*)", 1)))
+    )
+    pid = F.col(id_col).cast("long") if id_col else F.abs(F.xxhash64(wkt))
+    base = df.select(
+        pid.alias("poly_id"), gtype.alias("geom_type"),
+        F.posexplode_outer(parts_txt).alias("part", "outer_txt"))
+    pairs = F.split(F.col("outer_txt"), r"\s*,\s*")
+    # try_cast: malformed coordinate tokens parse to null instead of an
+    # ANSI cast error — geom_type tells the caller why
     closed = F.transform(pairs, lambda s: F.array(
         F.split(F.trim(s), r"\s+").getItem(1).try_cast("double"),
         F.split(F.trim(s), r"\s+").getItem(0).try_cast("double")))
     ring = F.slice(closed, 1, F.greatest(F.size(closed) - 1, F.lit(1)))
     lats = F.transform(ring, lambda v: v.getItem(0))
     lons = F.transform(ring, lambda v: v.getItem(1))
-    pid = F.col(id_col).cast("long") if id_col else \
-        F.abs(F.xxhash64(F.col(wkt_col)))
-    return df.select(
-        pid.alias("poly_id"),
+    return base.select(
+        "poly_id", "part",
         ring.alias("ring"),
         F.array_min(lats).alias("lat_min"), F.array_max(lats).alias("lat_max"),
         F.array_min(lons).alias("lon_min"), F.array_max(lons).alias("lon_max"),
-        gtype.alias("geom_type"),
+        "geom_type",
     )
 
 
@@ -206,3 +226,26 @@ def to_wkt(regions: DataFrame, ring_col: str = "ring") -> DataFrame:
         "poly_id",
         F.concat(F.lit("POLYGON (("), F.array_join(pts, ", "),
                  F.lit("))")).alias("wkt"))
+
+
+def to_wkt_multi(regions: DataFrame, ring_col: str = "ring",
+                 part_col: str = "part") -> DataFrame:
+    """Part rows → one ``MULTIPOLYGON ((( ... )), (( ... )))`` string
+    per poly_id, member polygons in part order (single-part ids emit a
+    1-member MULTIPOLYGON for uniform shape). One groupBy shuffle."""
+    closed = F.concat(F.col(ring_col), F.slice(F.col(ring_col), 1, 1))
+    pts = F.transform(closed, lambda p: F.concat_ws(
+        " ", p.getItem(1).cast("string"), p.getItem(0).cast("string")))
+    member = F.concat(F.lit("(("), F.array_join(pts, ", "), F.lit("))"))
+    grouped = (regions
+               .select("poly_id",
+                       F.struct(F.col(part_col).alias("part"),
+                                member.alias("m")).alias("pm"))
+               .groupBy("poly_id")
+               .agg(F.array_sort(F.collect_list("pm")).alias("pms")))
+    return grouped.select(
+        "poly_id",
+        F.concat(F.lit("MULTIPOLYGON ("),
+                 F.array_join(F.transform(F.col("pms"), lambda s: s["m"]),
+                              ", "),
+                 F.lit(")")).alias("wkt"))

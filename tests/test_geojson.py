@@ -205,17 +205,50 @@ def test_geojson_unsupported_geometry_surfaced(spark):
     assert out["sq"].geom_type == "Polygon" and out["sq"].part == 0
 
 
-def test_wkt_multipolygon_surfaced(spark):
+def test_wkt_multipolygon_parsed(spark):
+    """MULTIPOLYGON parses to part rows (outer rings only — a hole in a
+    member polygon is dropped, not mis-split); POINT stays surfaced
+    with a null ring."""
     from geopy_spark.sources.geojson import read_wkt
 
     df = spark.createDataFrame(
-        [("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",),
-         ("POLYGON ((0 0, 2 0, 2 2, 0 0))",)], "wkt string")
+        [("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), "
+          "((5 5, 7 5, 7 7, 5 7, 5 5), (5.5 5.5, 6 5.5, 6 6, 5.5 5.5)))",),
+         ("POLYGON ((0 0, 2 0, 2 2, 0 0))",),
+         ("POINT (3 4)",)], "wkt string")
     out = read_wkt(df).collect()
-    assert sorted(r.geom_type for r in out) == ["MULTIPOLYGON", "POLYGON"]
+    assert sorted(r.geom_type for r in out) == [
+        "MULTIPOLYGON", "MULTIPOLYGON", "POINT", "POLYGON"]
     poly = next(r for r in out if r.geom_type == "POLYGON")
     assert [list(v) for v in poly.ring] == [[0.0, 0.0], [0.0, 2.0],
                                             [2.0, 2.0]]
+    mparts = sorted((r for r in out if r.geom_type == "MULTIPOLYGON"),
+                    key=lambda r: r.part)
+    assert [r.part for r in mparts] == [0, 1]
+    assert len({r.poly_id for r in mparts}) == 1
+    assert [list(v) for v in mparts[0].ring] == [[0.0, 0.0], [0.0, 1.0],
+                                                 [1.0, 1.0]]
+    # second member's OUTER ring only — the hole is dropped
+    assert [list(v) for v in mparts[1].ring] == [
+        [5.0, 5.0], [5.0, 7.0], [7.0, 7.0], [7.0, 5.0]]
+    pt = next(r for r in out if r.geom_type == "POINT")
+    assert pt.ring is None
+
+
+def test_wkt_multipolygon_roundtrip(spark):
+    from geopy_spark.sources.geojson import read_wkt, to_wkt_multi
+
+    src = ("MULTIPOLYGON (((10 50, 12 50, 12 52, 10 50)), "
+           "((30 50, 32 50, 32 52, 30 50)))")
+    df = spark.createDataFrame([(src,)], "wkt string")
+    first = read_wkt(df).collect()
+    assert len(first) == 2
+    back = read_wkt(to_wkt_multi(
+        spark.createDataFrame(first).select("poly_id", "part", "ring"),
+    ), id_col="poly_id").collect()
+    a = {(r.poly_id, r.part): [list(v) for v in r.ring] for r in first}
+    b = {(r.poly_id, r.part): [list(v) for v in r.ring] for r in back}
+    assert a == b and len(a) == 2
 
 
 def test_tile_bounds_and_geojson_handoff(spark):
