@@ -403,6 +403,8 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    planes: dict[int, np.ndarray] = {}
+    decoded: set[int] = set()
     while p < len(buf):
         if buf[p] != 0xFF:
             raise ValueError(f"jpeg: expected marker at offset {p}")
@@ -460,14 +462,61 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, tt = seg[1 + 2 * i:3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(buf, p + seglen, frame, scan, qtabs,
-                                htabs, restart)
+            p = _decode_scan(buf, p + seglen, frame, scan, qtabs,
+                             htabs, restart, planes)
+            decoded |= {comp["id"] for comp, _, _ in scan}
+            if decoded == {c["id"] for c in frame["comps"]}:
+                return _finish(frame, planes)
+            continue             # multi-scan baseline: next SOS follows
         p += seglen
+    if frame is not None and decoded:
+        raise ValueError("jpeg: stream ended before every frame "
+                         "component was scanned")
     raise ValueError("jpeg: no SOS scan found")
 
 
+def _decode_block(r: "_BitReader", dtab: dict, atab: dict,
+                  qtab: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
+    """Decode one 8x8 data unit: Huffman DC delta + AC run-lengths,
+    dequantize, inverse DCT. Returns (spatial block + 128, new DC pred)."""
+    zz = np.zeros(64, dtype=np.float64)
+    size = _huff_decode(r, dtab)
+    pred += _extend(r.read_bits(size), size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _huff_decode(r, atab)
+        if sym == 0x00:          # EOB
+            break
+        if sym == 0xF0:          # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        zz[k] = _extend(r.read_bits(sym & 0xF), sym & 0xF)
+        k += 1
+    blk = np.zeros(64, dtype=np.float64)
+    blk[ZIGZAG] = zz * qtab[ZIGZAG]
+    return _C.T @ blk.reshape(8, 8) @ _C + 128.0, pred
+
+
 def _decode_scan(buf: bytes, pos: int, frame: dict, scan: list,
-                 qtabs: dict, htabs: dict, restart: int) -> np.ndarray:
+                 qtabs: dict, htabs: dict, restart: int,
+                 planes: dict) -> int:
+    """Decode ONE scan's entropy segment into ``planes`` (allocating the
+    scan components' planes on first sight). Returns the offset of the
+    marker that terminated the segment, so multi-scan files keep parsing
+    (T.81 B.2.2: a baseline frame may carry several SOS, one subset of
+    components each).
+
+    Interleaved (Ns > 1): MCUs sized by the FRAME's max sampling
+    factors, h_i×v_i blocks per component per MCU. Non-interleaved
+    (Ns = 1): per T.81 A.2.2 the MCU is a single data unit and the scan
+    walks the component's OWN block grid ceil(comp_w/8) × ceil(comp_h/8)
+    — even when that component declares h=v=2 in the frame header
+    (ADVICE r3: sizing this case by the frame's factors garbled
+    grayscale exported from color pipelines)."""
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -477,13 +526,37 @@ def _decode_scan(buf: bytes, pos: int, frame: dict, scan: list,
                                   "unsupported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {}
     for comp, _, _ in scan:
-        planes[comp["id"]] = np.zeros(
-            (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64)
+        if comp["id"] not in planes:
+            # MCU-padded size covers the non-interleaved grid too
+            planes[comp["id"]] = np.zeros(
+                (mcuy * comp["v"] * 8, mcux * comp["h"] * 8),
+                dtype=np.float64)
 
     r = _BitReader(buf, pos)
     preds = {comp["id"]: 0 for comp, _, _ in scan}
+
+    if len(scan) == 1:           # non-interleaved: one block per MCU
+        comp, dct, act = scan[0]
+        dtab, atab = htabs[(0, dct)], htabs[(1, act)]
+        qtab = qtabs[comp["q"]]
+        cw = -(-(w * comp["h"]) // hmax)   # component width in samples
+        ch = -(-(h * comp["v"]) // vmax)
+        bw = -(-cw // 8)                   # ... in whole blocks
+        bh = -(-ch // 8)
+        n_blk = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and n_blk and n_blk % restart == 0:
+                    r.sync_restart()
+                    preds = {k: 0 for k in preds}
+                pix, preds[comp["id"]] = _decode_block(
+                    r, dtab, atab, qtab, preds[comp["id"]])
+                planes[comp["id"]][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = pix
+                n_blk += 1
+        return r.p
+
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -496,33 +569,22 @@ def _decode_scan(buf: bytes, pos: int, frame: dict, scan: list,
                 qtab = qtabs[comp["q"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        size = _huff_decode(r, dtab)
-                        preds[comp["id"]] += _extend(r.read_bits(size), size)
-                        zz[0] = preds[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(r, atab)
-                            if sym == 0x00:          # EOB
-                                break
-                            if sym == 0xF0:          # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            zz[k] = _extend(r.read_bits(sym & 0xF), sym & 0xF)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[ZIGZAG] = zz * qtab[ZIGZAG]
-                        pix = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+                        pix, preds[comp["id"]] = _decode_block(
+                            r, dtab, atab, qtab, preds[comp["id"]])
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = pix
             n_mcu += 1
+    return r.p
 
+
+def _finish(frame: dict, planes: dict) -> np.ndarray:
+    """Upsample chroma to the frame grid, crop padding, color-convert."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     full = []
-    for comp, _, _ in scan:
+    for comp in frame["comps"]:
         pl = planes[comp["id"]]
         pl = np.repeat(np.repeat(pl, vmax // comp["v"], axis=0),
                        hmax // comp["h"], axis=1)

@@ -42,6 +42,13 @@ def pack_sequences(docs: DataFrame, budget: int, *,
     at materialization time; with no shard column it is a single global
     range sort of the thin pairs."""
     part = [shard_col] if shard_col else []
+    # zero-token docs contribute nothing to any sequence; worse, one whose
+    # running offset lands exactly on a budget boundary makes
+    # end_bin < start_bin, and sequence(start, stop) would then emit a
+    # DESCENDING 2-element span — spurious rows inflating pack_report
+    # (ADVICE r3). Drop them before the schedule; offsets are unchanged
+    # because they add 0 to the prefix sum anyway.
+    docs = docs.filter(F.col(tokens_col) > 0)
     w = Window.partitionBy(*part).orderBy(F.col(id_col))
     pre = F.coalesce(F.sum(tokens_col)
                      .over(w.rowsBetween(Window.unboundedPreceding, -1)),

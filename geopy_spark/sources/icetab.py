@@ -69,6 +69,15 @@ _LINEAGE_SCHEMA = pa.schema([
 ])
 
 
+class CommitConflict(RuntimeError):
+    """A REPLACE commit (compaction) found that a concurrent snapshot
+    touched one of the partitions it rewrites since the rewrite's read
+    version — publishing would silently shadow the concurrent delta and
+    a later expire would physically delete it. Iceberg's RewriteFiles
+    validation raises exactly here; callers re-plan the whole rewrite
+    from the new head (see :meth:`IceTable.compact`)."""
+
+
 class IceTable:
     def __init__(self, path: str):
         self.path = path
@@ -281,21 +290,31 @@ class IceTable:
         return pendings
 
     def commit(self, pending: list[dict], run_id: str,
-               replaced_partitions: list[str] | None = None) -> int:
+               replaced_partitions: list[str] | None = None,
+               base_version: int | None = None) -> int:
         """Atomically publish a batch of write_partition results as one new
         snapshot — OPTIMISTIC-CONCURRENCY safe (Iceberg's commit
         protocol): the manifest gets a unique, unreferenced name; the
         snapshot json is claimed with an exclusive hard link, so two
         racing committers can never clobber each other — the loser
-        re-reads the head and retries onto the next version (its pending
-        file sets are disjoint partitions-level appends, so the retry is
-        just a new parent pointer). Kill-safe at every step: nothing is
-        visible until the vN.json claim lands; the hint flips last and is
-        advisory (see current_version). ``replaced_partitions``:
-        partitions whose pre-existing file sets this snapshot REPLACES
-        rather than appends to (compaction); readers of this and later
-        snapshots skip the old files, older snapshots still see them
-        (time travel)."""
+        re-reads the head and retries onto the next version. For plain
+        appends the retry is just a new parent pointer (disjoint file
+        sets compose under any order). A REPLACE commit
+        (``replaced_partitions`` set, compaction) is NOT order-free: it
+        must pass ``base_version`` — the head it planned its rewrite
+        against — and the retry loop validates that no snapshot newer
+        than that touched a replaced partition (Iceberg RewriteFiles
+        validation); on conflict the pending files + manifest are
+        cleaned up and :class:`CommitConflict` is raised so the caller
+        re-plans the whole rewrite instead of silently shadowing (and
+        later expiring) the concurrent append. Kill-safe at every step:
+        nothing is visible until the vN.json claim lands; the hint flips
+        last and is advisory (see current_version). Readers of a replace
+        snapshot and later skip the replaced partitions' older files;
+        older snapshots still see them (time travel)."""
+        if replaced_partitions and base_version is None:
+            raise ValueError("replace commits must pass base_version "
+                             "(the head the rewrite was planned against)")
         deltas = [d for p in pending for d in p["deltas"]]
         man_rel = os.path.join("manifests", f"snap-{uuid.uuid4().hex}.parquet")
         _write_parquet_atomic(
@@ -304,6 +323,24 @@ class IceTable:
 
         while True:
             v_old = self.current_version()
+            if replaced_partitions and v_old > base_version:
+                touched = self._partitions_touched(base_version + 1, v_old)
+                clash = touched & set(replaced_partitions)
+                if clash:
+                    # abort: unpublish our never-visible files + manifest
+                    for d in deltas:
+                        try:
+                            os.remove(os.path.join(self.path, d["file"]))
+                        except FileNotFoundError:
+                            pass
+                    try:
+                        os.remove(os.path.join(self.path, man_rel))
+                    except FileNotFoundError:
+                        pass
+                    raise CommitConflict(
+                        f"snapshot(s) after v{base_version} touched "
+                        f"replaced partition(s) {sorted(clash)}; re-plan "
+                        f"the rewrite from v{v_old}")
             v_new = v_old + 1
             meta = {"snapshot_id": v_new, "parent": v_old,
                     "manifest": man_rel,
@@ -334,6 +371,18 @@ class IceTable:
             _write_text_atomic(hint, str(v_new))
         return v_new
 
+    def _partitions_touched(self, v_from: int, v_to: int) -> set[str]:
+        """Union of partitions appended-to or replaced by snapshots
+        v_from..v_to inclusive — the conflict footprint a replace commit
+        must validate against (metadata-only: reads the tiny vN.json
+        files, never the manifests)."""
+        touched: set[str] = set()
+        for v in range(v_from, v_to + 1):
+            snap = self.snapshot(v)
+            touched |= set(snap.get("partitions") or [])
+            touched |= set(snap.get("replaced_partitions") or [])
+        return touched
+
     def append(self, df: DataFrame, partition: str, run_id: str) -> int:
         """Convenience: write one partition and commit it as one snapshot."""
         return self.commit([self.write_partition(df, partition)], run_id)
@@ -341,7 +390,8 @@ class IceTable:
     # ----------------------------------------------------- maintenance ops
     def compact(self, spark: SparkSession, partition: str, run_id: str,
                 stats_cols: list[str] | None = None,
-                target_file_bytes: int = 128 << 20) -> int:
+                target_file_bytes: int = 128 << 20,
+                max_retries: int = 3) -> int:
         """Bin-pack one partition's files into ~``target_file_bytes``
         files and commit a snapshot that REPLACES the partition's file
         set (Iceberg ``rewrite_data_files`` parity). The 100 TB story:
@@ -351,19 +401,35 @@ class IceTable:
         partitions. Old files stay on disk so time-travel reads of older
         snapshots keep working until :meth:`expire_before` reclaims
         them. With ``stats_cols`` the rewrite re-sorts within output
-        files so the recorded min/max bounds stay tight for pruning."""
-        rows = [r for r in self.manifest_rows() if r["partition"] == partition]
-        if len(rows) <= 1:
-            return self.current_version()      # nothing to bin-pack
-        paths = [os.path.join(self.path, r["file"]) for r in rows]
-        total = sum(os.path.getsize(p) for p in paths)
-        n_out = max(1, -(-total // target_file_bytes))
-        df = spark.read.parquet(*paths).coalesce(n_out)
-        if stats_cols:
-            df = df.sortWithinPartitions(*stats_cols)
-        pending = self.write_partition(df, partition, stats_cols)
-        return self.commit([pending], run_id,
-                           replaced_partitions=[partition])
+        files so the recorded min/max bounds stay tight for pruning.
+
+        Concurrency: the whole rewrite is optimistic — the file set is
+        planned at the current head, and commit() validates at claim
+        time that no newer snapshot touched this partition (otherwise a
+        concurrent append would be shadowed and later expired). On
+        :class:`CommitConflict` the rewrite RE-PLANS from the new head,
+        picking up the racer's files, up to ``max_retries`` times."""
+        last_exc: CommitConflict | None = None
+        for _ in range(max(1, max_retries)):
+            base = self.current_version()
+            rows = [r for r in self.manifest_rows(base)
+                    if r["partition"] == partition]
+            if len(rows) <= 1:
+                return self.current_version()  # nothing to bin-pack
+            paths = [os.path.join(self.path, r["file"]) for r in rows]
+            total = sum(os.path.getsize(p) for p in paths)
+            n_out = max(1, -(-total // target_file_bytes))
+            df = spark.read.parquet(*paths).coalesce(n_out)
+            if stats_cols:
+                df = df.sortWithinPartitions(*stats_cols)
+            pending = self.write_partition(df, partition, stats_cols)
+            try:
+                return self.commit([pending], run_id,
+                                   replaced_partitions=[partition],
+                                   base_version=base)
+            except CommitConflict as e:
+                last_exc = e              # racer landed: re-plan rewrite
+        raise last_exc
 
     def _snapshot_delta_files(self, version: int) -> set[str]:
         """Raw file list ADDED by one snapshot's own manifest delta."""
@@ -397,13 +463,29 @@ class IceTable:
                 pass                       # already reclaimed: idempotent
         return removed
 
-    def remove_orphans(self) -> list[str]:
+    def remove_orphans(self, older_than_s: float = 3 * 86400) -> list[str]:
         """Delete files under data/ referenced by NO snapshot, plus
         leftover ``_staging-*`` dirs (Iceberg ``remove_orphan_files``
         parity) — debris of killed writers whose commit never happened.
-        Safe under snapshot isolation: a file becomes visible only via a
-        committed manifest, so an unreferenced file is unreachable by
-        every reader at every version. Returns deleted relative paths."""
+
+        ``older_than_s``: only sweep entries whose mtime is at least this
+        old (Iceberg's ``older_than`` threshold, same 3-day default). An
+        unreferenced file is invisible to every reader, but it is NOT
+        necessarily dead: write_partition moves files into data/ BEFORE
+        commit, so an in-flight writer's not-yet-committed files (and its
+        live _staging dir) look orphaned for the duration of the write.
+        The age horizon is what makes maintenance safe to run while
+        writers are active — anything younger than the horizon is
+        presumed in-flight and skipped. Pass 0 only when no writer can be
+        running. Returns deleted relative paths."""
+        now = time.time()
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= older_than_s
+            except OSError:
+                return False       # raced with its writer: clearly live
+
         ref: set[str] = set()
         man_ref: set[str] = set()
         for v in range(1, self.current_version() + 1):
@@ -411,22 +493,25 @@ class IceTable:
             man_ref.add(self.snapshot(v)["manifest"])
         removed: list[str] = []
         for entry in os.listdir(self.path):
-            if entry.startswith("_staging-"):
-                shutil.rmtree(os.path.join(self.path, entry),
-                              ignore_errors=True)
+            full = os.path.join(self.path, entry)
+            if entry.startswith("_staging-") and _old_enough(full):
+                shutil.rmtree(full, ignore_errors=True)
                 removed.append(entry)
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for fn in files:
-                rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
-                if rel not in ref:
-                    os.remove(os.path.join(dirpath, fn))
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel not in ref and _old_enough(full):
+                    os.remove(full)
                     removed.append(rel)
         # manifests written by commit attempts that never claimed a
         # version (kill between manifest write and claim) are orphans too
         for fn in os.listdir(self.manifest_dir):
             rel = os.path.join("manifests", fn)
-            if fn.endswith(".parquet") and rel not in man_ref:
-                os.remove(os.path.join(self.manifest_dir, fn))
+            full = os.path.join(self.manifest_dir, fn)
+            if (fn.endswith(".parquet") and rel not in man_ref
+                    and _old_enough(full)):
+                os.remove(full)
                 removed.append(rel)
         return sorted(removed)
 

@@ -190,9 +190,18 @@ class IcebergIO(TableIO):
         """Iceberg's own bin-pack rewrite, scoped to one partition."""
         col, val = partition.split("=", 1)
         cat = self.identifier.split(".", 1)[0]
+        # the where argument is itself a single-quoted SQL string, so a
+        # string-typed partition value needs its quotes DOUBLED inside it
+        # (where => 'z = ''v''') — Python repr would nest bare quotes and
+        # fail to parse (ADVICE r3). Bare numerics go through unquoted so
+        # int/long partition columns compare natively.
+        if _is_sql_numeric(val):
+            pred = f"{col} = {val}"
+        else:
+            pred = f"{col} = ''" + val.replace("'", "''''") + "''"
         self.spark.sql(
             f"CALL {cat}.system.rewrite_data_files(table => "
-            f"'{self.identifier}', where => '{col} = {val!r}', options => "
+            f"'{self.identifier}', where => '{pred}', options => "
             f"map('target-file-size-bytes', '{target_file_bytes}'))")
         return int(self.spark.sql(
             f"SELECT snapshot_id FROM {self.identifier}.snapshots "
@@ -208,11 +217,25 @@ class IcebergIO(TableIO):
             f"'{self.identifier}', older_than => TIMESTAMP '{ts}')")
         return []  # Iceberg reports counts, not paths
 
-    def remove_orphans(self) -> list:
+    def remove_orphans(self, older_than_s: float = 3 * 86400) -> list:
+        # Iceberg's procedure already defaults older_than to 3 days; pass
+        # the horizon explicitly so both implementations honor the same
+        # writer-safety contract (see IceTable.remove_orphans docstring)
         cat = self.identifier.split(".", 1)[0]
-        self.spark.sql(f"CALL {cat}.system.remove_orphan_files(table => "
-                       f"'{self.identifier}')")
+        ts = time.time() - older_than_s
+        self.spark.sql(
+            f"CALL {cat}.system.remove_orphan_files(table => "
+            f"'{self.identifier}', older_than => "
+            f"TIMESTAMP '{time.strftime('%Y-%m-%d %H:%M:%S', time.gmtime(ts))}')")
         return []
+
+
+def _is_sql_numeric(val: str) -> bool:
+    """True when ``val`` can be embedded unquoted in a SQL predicate
+    (plain int/float literal — NOT nan/inf, which float() accepts but
+    SQL does not)."""
+    import re
+    return bool(re.fullmatch(r"[+-]?\d+(\.\d+)?", val))
 
 
 def open_table(spec: str, spark: SparkSession | None = None) -> TableIO:

@@ -100,7 +100,7 @@ def test_remove_orphans(spark, table):
         f.write(b"not really parquet")
     os.makedirs(os.path.join(table.path, "_staging-dead"), exist_ok=True)
 
-    removed = table.remove_orphans()
+    removed = table.remove_orphans(older_than_s=0)
     assert any("stray.parquet" in r for r in removed)
     assert any(r.startswith("_staging-") for r in removed)
     assert not os.path.exists(stray)
@@ -183,7 +183,7 @@ def test_orphan_manifest_sweep(spark, tmp_path):
     import pyarrow.parquet as _pq
     _pq.write_table(_pa.table({"partition": ["z=9"], "file": ["x"],
                                "rows": [0], "stats": [None]}), stray)
-    removed = t.remove_orphans()
+    removed = t.remove_orphans(older_than_s=0)
     assert ["manifests/snap-deadbeef.parquet"] == removed
     assert all(_os.path.exists(_os.path.join(t.path, m)) for m in real)
     assert t.read(spark).count() == 10
@@ -254,3 +254,76 @@ def test_schema_evolution_read(spark):
         # time travel predates the column entirely
         assert set(t.read(spark, version=1, merge_schema=True).columns) \
             == {"cell", "val"}
+
+
+def test_replace_commit_conflict_detected(spark, table):
+    """ADVICE r3 (high): an append to partition P landing between a
+    compaction's plan-read and its commit must NOT be silently shadowed.
+    commit(replaced_partitions=[P], base_version=...) raises
+    CommitConflict, and the concurrently-appended rows stay visible."""
+    from geopy_spark.sources.icetab import CommitConflict
+
+    base = table.current_version()
+    pending = table.write_partition(
+        spark.read.parquet(*[os.path.join(table.path, r["file"])
+                             for r in table.manifest_rows()
+                             if r["partition"] == "z=0"]).coalesce(1), "z=0")
+    # racer appends to z=0 AFTER the rewrite planned its file set
+    table.commit([table.write_partition(
+        spark.createDataFrame(_pdf(100, 110)), "z=0")], "racer")
+
+    with pytest.raises(CommitConflict):
+        table.commit([pending], "rc", replaced_partitions=["z=0"],
+                     base_version=base)
+    # racer's rows survive; aborted rewrite published nothing
+    cells = sorted(r.cell for r in table.read(spark).collect())
+    assert cells == sorted(list(range(80)) + list(range(100, 110)))
+
+
+def test_compact_replans_on_conflict(spark, table, monkeypatch):
+    """compact() retries the whole rewrite from the new head when a racer
+    appends mid-rewrite: final state = one compacted file set INCLUDING
+    the racer's rows, nothing lost or later expirable."""
+    orig_write = table.write_partition
+    raced = {"done": False}
+
+    def racing_write(df, partition, stats_cols=None):
+        pending = orig_write(df, partition, stats_cols)
+        if not raced["done"]:
+            raced["done"] = True  # inject exactly one concurrent append
+            table.commit([orig_write(
+                df.sparkSession.createDataFrame(_pdf(100, 110)), "z=0")],
+                "racer")
+        return pending
+
+    monkeypatch.setattr(table, "write_partition", racing_write)
+    table.compact(spark, "z=0", "rc")
+    cells = sorted(r.cell for r in table.read(spark).collect())
+    assert cells == sorted(list(range(80)) + list(range(100, 110)))
+    # racer's delta was folded into the re-planned rewrite
+    table.expire_before(table.current_version())
+    cells2 = sorted(r.cell for r in table.read(spark).collect())
+    assert cells2 == cells
+
+
+def test_replace_commit_requires_base_version(spark, table):
+    pending = table.write_partition(
+        spark.createDataFrame(_pdf(0, 5)), "z=0")
+    with pytest.raises(ValueError, match="base_version"):
+        table.commit([pending], "rc", replaced_partitions=["z=0"])
+
+
+def test_remove_orphans_age_horizon_protects_inflight(spark, table):
+    """ADVICE r3 (medium): files a live writer staged into data/ before
+    its commit look orphaned; the default age horizon must skip them so
+    the writer's later commit stays valid."""
+    pending = table.write_partition(
+        spark.createDataFrame(_pdf(200, 210)), "z=0")
+    # maintenance runs with the default 3-day horizon while the writer
+    # is mid-flight: the fresh uncommitted files must survive
+    removed = table.remove_orphans()
+    assert removed == []
+    for d in pending["deltas"]:
+        assert os.path.exists(os.path.join(table.path, d["file"]))
+    table.commit([pending], "writer")
+    assert table.read(spark).count() == 90

@@ -218,3 +218,96 @@ def test_jpeg_decoder_never_hangs_on_corruption(cut, flip_at, flip_to, seed):
         assert out.dtype == np.uint8 and out.ndim == 3
     except (ValueError, NotImplementedError):
         pass  # the decoder's documented failure contract — nothing else
+
+
+# ------------------------- non-interleaved / multi-scan (ADVICE r3) ----
+
+def _headers_444(h, w, ql, qc, ncomp=3):
+    """SOI..tables..SOF0 prefix shared by the hand-built scan tests."""
+    out = bytearray(b"\xFF\xD8")
+    for tid, qtab in ((0, ql), (1, qc))[: (2 if ncomp == 3 else 1)]:
+        out += b"\xFF\xDB" + (67).to_bytes(2, "big") + bytes([tid])
+        out += bytes(int(v) for v in qtab.ravel()[J.ZIGZAG])
+    out += b"\xFF\xC0" + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8])
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    return out
+
+
+def _huff_segments():
+    out = bytearray()
+    for tc_th, (bits, vals) in (((0 << 4) | 0, J._DC_LUMA),
+                                ((0 << 4) | 1, J._DC_CHROMA),
+                                ((1 << 4) | 0, J._AC_LUMA),
+                                ((1 << 4) | 1, J._AC_CHROMA)):
+        out += b"\xFF\xC4" + (3 + 16 + len(vals)).to_bytes(2, "big")
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return out
+
+
+def _sos_one(cid, dct, act, zz_blocks, dc_codes, ac_codes):
+    """One single-component SOS header + its entropy segment (blocks in
+    the component's own raster order — T.81 non-interleaved rule)."""
+    out = bytearray(b"\xFF\xDA" + (8).to_bytes(2, "big") + bytes([1]))
+    out += bytes([cid, (dct << 4) | act, 0, 63, 0])
+    wtr = J._BitWriter()
+    pred = 0
+    for zz in zz_blocks:
+        pred = J._encode_block(wtr, zz, pred, dc_codes, ac_codes)
+    wtr.byte_align()
+    out += wtr.out
+    return out
+
+
+def test_multiscan_baseline_three_sos():
+    """A baseline frame may carry one SOS per component (T.81 B.2.2);
+    coefficients identical to the interleaved encoding must decode to the
+    identical image (the old decoder silently dropped scans 2-3)."""
+    img = _gradient(24, 40)
+    h, w = img.shape[:2]
+    y, cb, cr = J._to_ycbcr(img)
+    ql, qc = J._scaled_qtable(J._Q_LUMA, 98), J._scaled_qtable(J._Q_CHROMA, 98)
+    dc_l, dc_c = J._canonical_codes(*J._DC_LUMA), J._canonical_codes(*J._DC_CHROMA)
+    ac_l, ac_c = J._canonical_codes(*J._AC_LUMA), J._canonical_codes(*J._AC_CHROMA)
+
+    out = _headers_444(h, w, ql, qc)
+    for cid, (hi, vi), qid in zip((1, 2, 3), [(1, 1)] * 3, (0, 1, 1)):
+        out += bytes([cid, (hi << 4) | vi, qid])
+    out += _huff_segments()
+    for cid, plane, qtab, dct_act, codes in (
+            (1, y, ql, (0, 0), (dc_l, ac_l)),
+            (2, cb, qc, (1, 1), (dc_c, ac_c)),
+            (3, cr, qc, (1, 1), (dc_c, ac_c))):
+        padded = J._pad_edge(plane, -(-h // 8) * 8, -(-w // 8) * 8)
+        zz = J._quantized_zigzag(padded, qtab)
+        out += _sos_one(cid, *dct_act, zz, *codes)
+    out += b"\xFF\xD9"
+
+    got = J.decode_jpeg(bytes(out))
+    ref = J.decode_jpeg(J.encode_jpeg(img, quality=98))
+    assert np.array_equal(got, ref)
+    assert C.psnr(img, got) >= 40.0
+
+
+def test_single_component_scan_with_2x2_sampling_factors():
+    """Grayscale exported from a color pipeline often declares h=v=2 on
+    its only component; Ns=1 scans are non-interleaved, so the block grid
+    is the component's own ceil(w/8)*ceil(h/8) — NOT a 4-block MCU
+    (ADVICE r3: the old decoder garbled this shape)."""
+    h, w = 24, 40    # not multiples of 16: MCU-padding would differ
+    g = _gradient(h, w)[..., 0].astype(np.float64)
+    ql = J._scaled_qtable(J._Q_LUMA, 98)
+    dc_l, ac_l = J._canonical_codes(*J._DC_LUMA), J._canonical_codes(*J._AC_LUMA)
+
+    out = _headers_444(h, w, ql, None, ncomp=1)
+    out += bytes([1, (2 << 4) | 2, 0])       # one comp, h=v=2, qtab 0
+    out += _huff_segments()
+    padded = J._pad_edge(g, -(-h // 8) * 8, -(-w // 8) * 8)
+    zz = J._quantized_zigzag(padded, ql)
+    out += _sos_one(1, 0, 0, zz, dc_l, ac_l)
+    out += b"\xFF\xD9"
+
+    got = J.decode_jpeg(bytes(out))
+    assert got.shape == (h, w, 3)
+    # near-lossless at q98 on smooth content; all 3 channels replicate
+    assert np.array_equal(got[..., 0], got[..., 1])
+    assert C.psnr(np.stack([g] * 3, -1).astype(np.uint8), got) >= 45.0

@@ -138,3 +138,25 @@ def test_corpus_pipeline_packing_stage(spark, tmp_path):
     # sequences cover exactly the survivor set
     surv = IceTable(out).read_partition(spark, "survivors")
     assert packed.select("doc_id").distinct().count() == surv.count()
+
+
+def test_zero_token_docs_emit_no_rows(spark):
+    """ADVICE r3: a 0-token doc whose prefix lands exactly on a budget
+    boundary must not emit spurious descending-sequence rows. Packing
+    with and without the empty docs must be identical."""
+    base = pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(8)],
+                         "n_tokens": [4, 4, 0, 4, 4, 0, 0, 3]})
+    # budget 8: d002's prefix is exactly 8 (= 1*budget) → the old code's
+    # end_bin (floor((8-1)/8)=0) < start_bin (1) triggered the bug
+    df = spark.createDataFrame(base)
+    packed = pack_sequences(df, 8).toPandas()
+    assert set(packed["doc_id"]) == {"d000", "d001", "d003", "d004", "d007"}
+    assert (packed["tokens_in_seq"] > 0).all()
+    nonzero = spark.createDataFrame(base[base.n_tokens > 0])
+    twin = pack_sequences(nonzero, 8).toPandas()
+    key = ["seq_id", "doc_id", "doc_offset", "tokens_in_seq", "seq_pos"]
+    assert (packed[key].sort_values(key).reset_index(drop=True)
+            .equals(twin[key].sort_values(key).reset_index(drop=True)))
+    rep = pack_report(pack_sequences(df, 8), 8).toPandas()
+    assert int(rep["n_docs"].sum()) == len(packed)
+    assert (rep.sort_values("seq_id")["fill_ratio"].iloc[:-1] == 1.0).all()
