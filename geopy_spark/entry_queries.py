@@ -30,12 +30,17 @@ from .session import load_table
 # shared fixtures
 # ---------------------------------------------------------------------------
 
-_POLYS = synth.oracle_polygons()
+# round 4: the driver fixture carries interior rings (holes) — every
+# polygon where one provably fits gets a hexagonal hole, so the
+# spatial_join_pip driver row witnesses outer-minus-hole containment
+# against the oracle's flat even-odd edge list
+_POLYS = synth.oracle_polygons_holed()
 
 _REGIONS_SCHEMA = StructType([
     StructField("poly_id", LongType()),
     StructField("name", StringType()),
     StructField("ring", ArrayType(ArrayType(DoubleType()))),
+    StructField("holes", ArrayType(ArrayType(ArrayType(DoubleType())))),
     StructField("lat_min", DoubleType()), StructField("lat_max", DoubleType()),
     StructField("lon_min", DoubleType()), StructField("lon_max", DoubleType()),
 ])

@@ -7,7 +7,15 @@ the golden fixtures and the DuckDB oracle agree.
 
 Polygons are simple closed rings [[lat, lon], ...] (first vertex not
 repeated; we close implicitly). lat plays y, lon plays x. Antimeridian-
-crossing rings are a documented non-goal (FIXTURES.md).
+crossing rings are split into parts at ±180 before they reach these
+kernels (sources/geojson.split_antimeridian).
+
+Interior rings (holes, round 4): a polygon is (outer ring, holes[]) —
+containment = inside the outer AND NOT strictly inside any hole; points
+ON a hole's boundary count as inside the polygon (the boundary belongs
+to the polygon, consistent with the outer-boundary convention). This is
+exactly the even-odd rule evaluated over all rings at once, which is
+what the DuckDB oracle computes from the flat edge list.
 """
 
 from __future__ import annotations
@@ -29,13 +37,15 @@ def _as_edges(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.
     return y1, x1, y2, x2
 
 
-def points_in_ring(plat: np.ndarray, plon: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized [N points] x [one ring] → bool[N].
+def _ring_inside_on_edge(plat: np.ndarray, plon: np.ndarray,
+                         ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized [N points] x [one ring] → (strictly_inside, on_edge),
+    each bool[N].
 
     Ray-casting (even-odd, half-open vertex rule) as the primary test;
     winding-number recomputation for rows whose ray passes within EPS of a
     vertex latitude (the degenerate cases the half-open rule can still get
-    wrong under floating-point); explicit on-edge test → inside.
+    wrong under floating-point); explicit on-edge/vertex proximity test.
     """
     py = np.asarray(plat, dtype=np.float64)[:, None]   # [N,1]
     px = np.asarray(plon, dtype=np.float64)[:, None]
@@ -64,7 +74,35 @@ def points_in_ring(plat: np.ndarray, plon: np.ndarray, ring: np.ndarray) -> np.n
         wn = _winding_number(py[idx, 0], px[idx, 0], y1, x1, y2, x2)
         inside[idx] = wn != 0
 
+    return inside, on_edge
+
+
+def points_in_ring(plat: np.ndarray, plon: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Boundary-INCLUSIVE containment in one ring (G5): inside or within
+    EPS of an edge/vertex — the engine's outer-ring convention."""
+    inside, on_edge = _ring_inside_on_edge(plat, plon, ring)
     return inside | on_edge
+
+
+def points_in_ring_interior(plat: np.ndarray, plon: np.ndarray,
+                            ring: np.ndarray) -> np.ndarray:
+    """STRICT interior of one ring (boundary excluded) — the test a hole
+    needs: a point on the hole's rim still belongs to the polygon."""
+    inside, on_edge = _ring_inside_on_edge(plat, plon, ring)
+    return inside & ~on_edge
+
+
+def points_in_polygon(plat: np.ndarray, plon: np.ndarray, ring: np.ndarray,
+                      holes=None) -> np.ndarray:
+    """Containment in a polygon with optional interior rings: inside the
+    outer ring AND NOT strictly inside any hole. Equivalent to even-odd
+    parity over the flat edge list of all rings (the oracle's form) for
+    valid geometry (holes inside the outer, pairwise disjoint)."""
+    res = points_in_ring(plat, plon, ring)
+    for h in holes if holes is not None else ():
+        if res.any():
+            res &= ~points_in_ring_interior(plat, plon, np.asarray(h, dtype=np.float64))
+    return res
 
 
 def dy_safe_div(dx: np.ndarray, dy: np.ndarray, num: np.ndarray) -> np.ndarray:
@@ -83,23 +121,124 @@ def _winding_number(py, px, y1, x1, y2, x2) -> np.ndarray:
     return up.sum(axis=1) - dn.sum(axis=1)
 
 
+# ------------------------------------------------ antimeridian splitting
+
+def unwrap_ring_lons(ring: np.ndarray) -> np.ndarray:
+    """Longitudes made CONTINUOUS along the ring: each vertex shifted by
+    the multiple of 360 that keeps consecutive deltas under 180 (the
+    standard convention for encoding a wrap-crossing ring: lon jumps
+    from ~+179 to ~-179 mean the ring continues east). The result is
+    then re-centered by whole turns so its span sits across at most one
+    seam (±180)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    lon = ring[:, 1]
+    adj = np.concatenate([[0.0],
+                          np.cumsum(-360.0 * np.round(np.diff(lon) / 360.0))])
+    u = lon + adj
+    u -= 360.0 * np.round((u.max() + u.min()) / 720.0)
+    return u
+
+
+def _clip_lon_halfplane(ring: np.ndarray, seam: float,
+                        keep_leq: bool) -> np.ndarray:
+    """Sutherland–Hodgman clip of a [lat,lon] ring against lon<=seam
+    (keep_leq) or lon>=seam. For a non-convex ring crossing the seam
+    several times the output carries collinear seam bridge-edges, which
+    even-odd PIP treats correctly (opposite traversals cancel in the
+    crossing parity) — so downstream containment stays exact."""
+    out: list[list[float]] = []
+    n = len(ring)
+    for i in range(n):
+        ay, ax = ring[i]
+        by, bx = ring[(i + 1) % n]
+        a_in = ax <= seam if keep_leq else ax >= seam
+        b_in = bx <= seam if keep_leq else bx >= seam
+        if a_in:
+            out.append([ay, ax])
+        if a_in != b_in:
+            t = (seam - ax) / (bx - ax)
+            out.append([ay + t * (by - ay), seam])
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+
+def split_polygon_antimeridian(ring: np.ndarray, holes=None
+                               ) -> list[tuple[np.ndarray, list]]:
+    """Split a wrap-crossing polygon at ±180 into parts with in-range
+    longitudes: [(part_ring, part_holes), ...]. A non-crossing polygon
+    returns itself (single part, holes untouched). Holes are unwrapped
+    into the outer's continuous frame and clipped by the same seam, so
+    each part keeps exactly the hole area on its side. Rings spanning
+    more than a full turn are returned unchanged (invalid geometry —
+    caller's filter via geom_type/validation)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    holes = [np.asarray(h, dtype=np.float64) for h in (holes or [])]
+    u = unwrap_ring_lons(ring)
+    if u.max() - u.min() >= 360.0:
+        return [(ring, holes)]
+    if u.max() <= 180.0 and u.min() >= -180.0:
+        return [(ring, holes)]
+    seam = 180.0 if u.max() > 180.0 else -180.0
+    uring = np.column_stack([ring[:, 0], u])
+    # holes re-centered into the outer's frame (shift by whole turns to
+    # land inside the outer's unwrapped span)
+    uholes = []
+    for h in holes:
+        hu = unwrap_ring_lons(h)
+        hu += 360.0 * np.round(((u.max() + u.min()) - (hu.max() + hu.min()))
+                               / 720.0)
+        uholes.append(np.column_stack([h[:, 0], hu]))
+
+    parts = []
+    # in-range side keeps shift 0; the side beyond the seam comes back a
+    # whole turn (seam=180 → east side −360; seam=−180 → west side +360)
+    plan = (((True, 0.0), (False, -360.0)) if seam == 180.0
+            else ((False, 0.0), (True, 360.0)))
+    for keep_leq, shift in plan:
+        pr = _clip_lon_halfplane(uring, seam, keep_leq)
+        if len(pr) < 3:
+            continue
+        ph = [q for q in (_clip_lon_halfplane(h, seam, keep_leq)
+                          for h in uholes) if len(q) >= 3]
+        pr = pr.copy()
+        pr[:, 1] += shift
+        for q in ph:
+            q[:, 1] += shift
+        parts.append((pr, ph))
+    return parts if parts else [(ring, holes)]
+
+
 def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
     ring = np.asarray(ring, dtype=np.float64)
     return (float(ring[:, 0].min()), float(ring[:, 0].max()),
             float(ring[:, 1].min()), float(ring[:, 1].max()))
 
 
-def polygon_cover(ring: np.ndarray, level: int) -> np.ndarray:
-    """Conservative covering cell set of a ring at ``level`` (G4).
+def polygon_cover(ring: np.ndarray, level: int, holes=None) -> np.ndarray:
+    """Conservative covering cell set of a polygon at ``level`` (G4).
 
     Every cell whose rectangle intersects the ring's bbox is kept when it
     either (a) has its center inside the ring, or (b) intersects the bbox
     boundary band — a superset that guarantees NO false negatives for the
-    cell-equi join; the exact PIP residual (points_in_ring) removes false
-    positives afterwards. cf. Raster-Intervals-style approximation
+    cell-equi join; the exact PIP residual (points_in_polygon) removes
+    false positives afterwards. cf. Raster-Intervals-style approximation
     (PAPERS.md [P:9]).
+
+    With ``holes``, cells provably swallowed by a hole are dropped —
+    center strictly inside the hole AND the cell rectangle nowhere
+    touching the hole's rim — which keeps the no-false-negative
+    guarantee (a cell straddling the rim still carries polygon area and
+    is kept). For a large hole (donut regions) this prunes the cover the
+    same way the outer test prunes the bbox grid.
     """
     lat_min, lat_max, lon_min, lon_max = ring_bbox(ring)
+    # a ring ending EXACTLY at the +180 seam (antimeridian part rings)
+    # must not wrap its bbox corner to -180 — that would empty the grid
+    # range and silently drop the whole cover (round-4 seam-edge fix).
+    # 1e-9° stays inside the seam cell at every level (finest cell is
+    # ~3e-7°) yet survives normalize's +180 float rounding, which a bare
+    # nextafter(180) does not.
+    lon_max = min(lon_max, 180.0 - 1e-9)
+    lon_min = min(lon_min, lon_max)
     i0, j0 = latlon_to_ij(np.array([lat_min]), np.array([lon_min]), level)
     i1, j1 = latlon_to_ij(np.array([lat_max]), np.array([lon_max]), level)
     ii = np.arange(int(i0[0]), int(i1[0]) + 1, dtype=np.uint64)
@@ -115,7 +254,16 @@ def polygon_cover(ring: np.ndarray, level: int) -> np.ndarray:
     center_in = points_in_ring(clat, clon, ring)
     near_edge = _cell_touches_ring(clat, clon, half, ring)
     keep = center_in | near_edge
-    return cells[keep]
+    cells = cells[keep]
+    for h in holes if holes is not None else ():
+        if cells.size == 0:
+            break
+        h = np.asarray(h, dtype=np.float64)
+        clat, clon = cell_center(cells)
+        swallowed = (points_in_ring_interior(clat, clon, h)
+                     & ~_cell_touches_ring(clat, clon, half, h))
+        cells = cells[~swallowed]
+    return cells
 
 
 def _cell_touches_ring(clat, clon, half, ring) -> np.ndarray:

@@ -64,32 +64,68 @@ def _cover_estimate(regions: DataFrame, level: int) -> int:
     return per_frame[level]
 
 
-def polygon_cover_udf(ring: Column, level: int) -> Column:
-    """ring array<array<double>> → covering cells array<long> (G4)."""
+def _np_ring(v) -> np.ndarray:
+    return np.asarray([list(p) for p in v], dtype=np.float64)
+
+
+def _holes_transport(holes: Column | None) -> tuple[Column, Column]:
+    """Holes cross the Arrow boundary FLATTENED: (points 2-deep, per-hole
+    vertex counts). Rationale: this Spark build's Arrow writer emits a
+    batch pyarrow segfaults on for any EXPRESSION-computed empty/null
+    array<array<array<double>>> (plain literals, slice-to-empty, even
+    from_json('[]') all reproduce it; 2-deep and 1-deep arrays are fine
+    — see tests/test_spatial_knn.py::test_holes_arrow_transport). The
+    3-deep holes column itself stays JVM-side; only the safe shapes
+    reach Python."""
+    if holes is None:
+        return (F.array().cast("array<array<double>>"),
+                F.array().cast("array<int>"))
+    return (F.coalesce(F.flatten(holes), F.array().cast("array<array<double>>")),
+            F.coalesce(F.transform(holes, F.size), F.array().cast("array<int>")))
+
+
+def _np_holes(flat, sizes) -> list:
+    """Rebuild per-hole vertex arrays from the flattened transport."""
+    out, pos = [], 0
+    for n in sizes:
+        out.append(_np_ring(flat[pos:pos + n]))
+        pos += n
+    return out
+
+
+def polygon_cover_udf(ring: Column, level: int,
+                      holes: Column | None = None) -> Column:
+    """ring array<array<double>> (+ optional holes
+    array<array<array<double>>>) → covering cells array<long> (G4)."""
     @F.pandas_udf(ArrayType(LongType()))
-    def _cover(r: pd.Series) -> pd.Series:
+    def _cover(r: pd.Series, hf: pd.Series, hs: pd.Series) -> pd.Series:
         return pd.Series([
-            P.polygon_cover(np.asarray([list(v) for v in ring_], dtype=np.float64),
-                            level).tolist()
-            for ring_ in r
+            P.polygon_cover(_np_ring(ring_), level,
+                            holes=_np_holes(flat_, sizes_)).tolist()
+            for ring_, flat_, sizes_ in zip(r, hf, hs)
         ])
-    return _cover(ring)
+    return _cover(ring, *_holes_transport(holes))
 
 
-def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column) -> Column:
-    """Exact point-in-ring test (G5), vectorized per polygon group within
-    each Arrow batch (candidate pairs arrive clustered by polygon)."""
+def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column,
+            holes: Column | None = None) -> Column:
+    """Exact point-in-polygon test (G5) — outer ring minus interior
+    rings — vectorized per polygon group within each Arrow batch
+    (candidate pairs arrive clustered by polygon)."""
     @F.pandas_udf(BooleanType())
-    def _pip(la: pd.Series, lo: pd.Series, pid: pd.Series, rg: pd.Series) -> pd.Series:
+    def _pip(la: pd.Series, lo: pd.Series, pid: pd.Series,
+             rg: pd.Series, hf: pd.Series, hs: pd.Series) -> pd.Series:
         out = np.zeros(len(la), dtype=bool)
         la_np = la.to_numpy(np.float64)
         lo_np = lo.to_numpy(np.float64)
         for _, idx in pd.Series(range(len(pid))).groupby(pid.values).groups.items():
             ii = np.asarray(idx)
-            ring_np = np.asarray([list(v) for v in rg.iloc[ii[0]]], dtype=np.float64)
-            out[ii] = P.points_in_ring(la_np[ii], lo_np[ii], ring_np)
+            ring_np = _np_ring(rg.iloc[ii[0]])
+            holes_np = _np_holes(hf.iloc[ii[0]], hs.iloc[ii[0]])
+            out[ii] = P.points_in_polygon(la_np[ii], lo_np[ii], ring_np,
+                                          holes=holes_np)
         return pd.Series(out)
-    return _pip(lat, lon, poly_id, ring)
+    return _pip(lat, lon, poly_id, ring, *_holes_transport(holes))
 
 
 def spatial_join(points: DataFrame, regions: DataFrame, *,
@@ -99,7 +135,9 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     """Exact point-in-polygon join.
 
     points:  (point_id, lat, lon, ...) — the big side.
-    regions: (poly_id, ring, lat_min, lat_max, lon_min, lon_max) — vector side.
+    regions: (poly_id, ring, lat_min, lat_max, lon_min, lon_max) — vector
+    side; an optional ``holes`` column (array of interior rings) makes
+    containment outer-minus-holes (round 4 — absent column = solid).
     Returns (point_id, poly_id) exact containment pairs.
 
     broadcast_regions=True: the exploded polygon cover broadcasts; the
@@ -125,9 +163,16 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     # already-compact inputs; no df.rdd plan conversion needed)
     regions_in = regions  # memo key: the caller's (immutable) frame
     regions = regions.coalesce(8)
+    # interior rings are opt-in by column presence: a regions frame
+    # without `holes` behaves exactly as before (solid polygons)
+    if "holes" not in regions.columns:
+        regions = regions.withColumn(
+            "holes", F.array().cast("array<array<array<double>>>"))
     cov = (regions
-           .withColumn("cell", F.explode(polygon_cover_udf(F.col("ring"), level)))
-           .select("cell", "poly_id", "ring", "lat_min", "lat_max", "lon_min", "lon_max"))
+           .withColumn("cell", F.explode(polygon_cover_udf(
+               F.col("ring"), level, holes=F.col("holes"))))
+           .select("cell", "poly_id", "ring", "holes",
+                   "lat_min", "lat_max", "lon_min", "lon_max"))
 
     pts = points.withColumn("cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
 
@@ -164,5 +209,6 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     # (batch, polygon) pair; measured 185s → seconds at 600k x 2k polys
     cand = cand.sortWithinPartitions("poly_id")
 
-    hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"), F.col("ring")))
+    hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
+                              F.col("ring"), holes=F.col("holes")))
     return hit.select(point_id, "poly_id")

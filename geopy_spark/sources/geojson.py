@@ -12,15 +12,16 @@ a map-only JVM stage. Two RFC quirks are handled explicitly:
   the last; engine rings are open. The closing vertex is dropped on
   read and re-appended on write.
 
-Scope: ``Polygon`` and ``MultiPolygon`` geometries, outer rings. A
-MultiPolygon explodes to one row per member polygon (``part`` column),
-all sharing the Feature's ``poly_id`` — and because the spatial join
-(G6) dedups result pairs on ``poly_id``, point-in-any-part union
-semantics (exactly RFC 7946 MultiPolygon containment, holes aside)
-falls out with no operator change. Holes are not cover/PIP-supported
-and are dropped per part; other geometry types surface as ``geom_type``
-with a null ring for the caller to filter/report — never silently
-dropped.
+Scope: ``Polygon`` and ``MultiPolygon`` geometries, interior rings
+included (round 4). A MultiPolygon explodes to one row per member
+polygon (``part`` column), all sharing the Feature's ``poly_id`` — and
+because the spatial join (G6) dedups result pairs on ``poly_id``,
+point-in-any-part union semantics (exactly RFC 7946 MultiPolygon
+containment) falls out with no operator change. Each part's rings[1:]
+land in a ``holes`` column that the cover/PIP chain consumes
+(kernels/pip.points_in_polygon) and the emitters round-trip; other
+geometry types surface as ``geom_type`` with a null ring for the
+caller to filter/report — never silently dropped.
 
 ``from_json`` can't give one field two shapes, so the Feature text is
 parsed twice — once with Polygon's 3-deep coordinates, once with
@@ -52,11 +53,25 @@ _COLLECTION_SCHEMA_MULTI = (
     f"type STRING, features ARRAY<STRUCT<{_FEATURE_SCHEMA_MULTI}>>")
 
 
+def _open_flip(ring: Column) -> Column:
+    """One wire ring → engine ring: [lon,lat]→[lat,lon], closing vertex
+    dropped."""
+    opened = F.slice(ring, 1, F.greatest(F.size(ring) - 1, F.lit(1)))
+    return F.transform(opened, lambda p: F.array(p.getItem(1), p.getItem(0)))
+
+
 def _ring_from_coords(coords: Column) -> Column:
     """Outer ring, [lon,lat]→[lat,lon], closing vertex dropped."""
-    outer = coords.getItem(0)
-    opened = F.slice(outer, 1, F.greatest(F.size(outer) - 1, F.lit(1)))
-    return F.transform(opened, lambda p: F.array(p.getItem(1), p.getItem(0)))
+    return _open_flip(coords.getItem(0))
+
+
+def _holes_from_coords(coords: Column) -> Column:
+    """Interior rings (coords[1:]), each opened + flipped; [] when the
+    polygon is solid (round 4 — holes used to be documented-dropped)."""
+    inner = F.when(F.size(coords) > 1,
+                   F.slice(coords, 2, F.size(coords) - 1)) \
+        .otherwise(F.array().cast("array<array<array<double>>>"))
+    return F.transform(inner, _open_flip)
 
 
 def read_geojson(df: DataFrame, json_col: str = "geojson",
@@ -94,6 +109,7 @@ def read_geojson(df: DataFrame, json_col: str = "geojson",
         F.col("f4.geometry.coordinates").alias("mcoords"),
         F.posexplode_outer(parts).alias("part", "rings"))
     ring = _ring_from_coords(F.col("rings"))
+    holes = _holes_from_coords(F.col("rings"))
     lats = F.transform(ring, lambda v: v.getItem(0))
     lons = F.transform(ring, lambda v: v.getItem(1))
     pid = F.coalesce(
@@ -109,6 +125,7 @@ def read_geojson(df: DataFrame, json_col: str = "geojson",
         F.coalesce(F.col("f3.properties")["name"], F.col("f3.id"),
                    F.lit("unnamed")).alias("name"),
         ring.alias("ring"),
+        holes.alias("holes"),
         F.array_min(lats).alias("lat_min"), F.array_max(lats).alias("lat_max"),
         F.array_min(lons).alias("lon_min"), F.array_max(lons).alias("lon_max"),
         gtype.alias("geom_type"),
@@ -116,12 +133,27 @@ def read_geojson(df: DataFrame, json_col: str = "geojson",
     )
 
 
-def to_geojson(regions: DataFrame, ring_col: str = "ring") -> DataFrame:
-    """regions → (poly_id, geojson) Feature strings: ring re-closed,
-    [lat,lon]→[lon,lat], name carried in properties."""
-    closed = F.concat(F.col(ring_col), F.slice(F.col(ring_col), 1, 1))
-    coords = F.array(F.transform(
-        closed, lambda p: F.array(p.getItem(1), p.getItem(0))))
+def _close_flip(ring: Column) -> Column:
+    """Engine ring → wire ring: re-close, [lat,lon]→[lon,lat]."""
+    closed = F.concat(ring, F.slice(ring, 1, 1))
+    return F.transform(closed, lambda p: F.array(p.getItem(1), p.getItem(0)))
+
+
+def _poly_coords(regions: DataFrame, ring_col: str, holes_col: str) -> Column:
+    """Polygon ``coordinates`` (3-deep): [outer, *holes] — holes emitted
+    when the frame carries the column (round 4)."""
+    coords = F.array(_close_flip(F.col(ring_col)))
+    if holes_col in regions.columns:
+        coords = F.concat(coords, F.transform(F.col(holes_col), _close_flip))
+    return coords
+
+
+def to_geojson(regions: DataFrame, ring_col: str = "ring",
+               holes_col: str = "holes") -> DataFrame:
+    """regions → (poly_id, geojson) Feature strings: rings re-closed,
+    [lat,lon]→[lon,lat], interior rings preserved when a ``holes``
+    column is present, name carried in properties."""
+    coords = _poly_coords(regions, ring_col, holes_col)
     feature = F.struct(
         F.lit("Feature").alias("type"),
         F.col("poly_id").cast("string").alias("id"),
@@ -133,15 +165,15 @@ def to_geojson(regions: DataFrame, ring_col: str = "ring") -> DataFrame:
 
 
 def to_geojson_multi(regions: DataFrame, ring_col: str = "ring",
-                     part_col: str = "part") -> DataFrame:
+                     part_col: str = "part",
+                     holes_col: str = "holes") -> DataFrame:
     """Part rows (as produced by read_geojson on MultiPolygon input) →
     one ``MultiPolygon`` Feature per poly_id, member polygons in part
-    order. A single-part poly_id emits a 1-member MultiPolygon (valid
+    order, per-part interior rings preserved when a ``holes`` column is
+    present. A single-part poly_id emits a 1-member MultiPolygon (valid
     RFC 7946) so the coordinates depth is uniform. One shuffle
     (groupBy poly_id); ring math stays in Column algebra."""
-    closed = F.concat(F.col(ring_col), F.slice(F.col(ring_col), 1, 1))
-    coords3 = F.array(F.transform(
-        closed, lambda p: F.array(p.getItem(1), p.getItem(0))))
+    coords3 = _poly_coords(regions, ring_col, holes_col)
     grouped = (regions
                .select("poly_id", "name",
                        F.struct(F.col(part_col).alias("part"),
@@ -160,7 +192,85 @@ def to_geojson_multi(regions: DataFrame, ring_col: str = "ring",
     return grouped.select("poly_id", F.to_json(feature).alias("geojson"))
 
 
+# ------------------------------------------------------- antimeridian split
+
+def split_antimeridian(regions: DataFrame, ring_col: str = "ring",
+                       holes_col: str = "holes",
+                       part_col: str = "part") -> DataFrame:
+    """Split antimeridian-crossing polygons at ±180 into extra part rows
+    (round 4). Pacific datasets (Fiji, Chukotka, dateline EEZs) encode a
+    ring whose longitudes jump ~+179 → −179; the cell cover and bbox
+    residual treat that as a world-wide band. This pass rewrites each
+    crossing polygon as MultiPolygon-style parts with in-range
+    longitudes — the machinery G6 already unions over (pair-dedup on
+    poly_id), so joins work from BOTH sides of the seam with no operator
+    change. Holes are clipped by the same seam into their part.
+
+    Non-crossing rows pass through byte-identical. New parts renumber as
+    ``part*64 + piece`` to stay unique without a shuffle (the split is a
+    narrow mapInPandas over the vector side; 64 ≫ pieces per member).
+    bboxes are recomputed for the split parts."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import pip as P
+
+    if holes_col not in regions.columns:
+        regions = regions.withColumn(
+            holes_col, F.array().cast("array<array<array<double>>>"))
+    if part_col not in regions.columns:
+        regions = regions.withColumn(part_col, F.lit(0))
+    schema = regions.schema
+    cols = list(regions.columns)
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                ring = row[ring_col]
+                if ring is None:
+                    recs.append(row)
+                    continue
+                ring_np = np.asarray([list(v) for v in ring], dtype=np.float64)
+                hv = row[holes_col]
+                holes_np = ([] if hv is None or len(hv) == 0
+                            else [np.asarray([list(p) for p in h],
+                                             dtype=np.float64) for h in hv])
+                parts = P.split_polygon_antimeridian(ring_np, holes_np)
+                if len(parts) == 1:
+                    recs.append(row)
+                    continue
+                for k, (pr, ph) in enumerate(parts):
+                    r2 = row.copy()
+                    r2[ring_col] = [list(map(float, v)) for v in pr]
+                    r2[holes_col] = [[list(map(float, v)) for v in h]
+                                     for h in ph]
+                    r2[part_col] = int(row[part_col]) * 64 + k
+                    for c, val in (("lat_min", pr[:, 0].min()),
+                                   ("lat_max", pr[:, 0].max()),
+                                   ("lon_min", pr[:, 1].min()),
+                                   ("lon_max", pr[:, 1].max())):
+                        if c in cols:
+                            r2[c] = float(val)
+                    recs.append(r2)
+            yield pd.DataFrame(recs, columns=cols) if recs \
+                else pdf.iloc[0:0]
+    return regions.mapInPandas(gen, schema)
+
+
 # --------------------------------------------------------------------- WKT
+
+def _wkt_ring(txt: Column) -> Column:
+    """One ring's coordinate text ``x y, x y, ...`` → engine ring
+    (closing vertex dropped, lon-lat → lat-lon). try_cast: malformed
+    coordinate tokens parse to null instead of an ANSI cast error —
+    geom_type tells the caller why."""
+    pairs = F.split(txt, r"\s*,\s*")
+    closed = F.transform(pairs, lambda s: F.array(
+        F.split(F.trim(s), r"\s+").getItem(1).try_cast("double"),
+        F.split(F.trim(s), r"\s+").getItem(0).try_cast("double")))
+    return F.slice(closed, 1, F.greatest(F.size(closed) - 1, F.lit(1)))
+
 
 def read_wkt(df: DataFrame, wkt_col: str = "wkt",
              id_col: str | None = None) -> DataFrame:
@@ -168,75 +278,90 @@ def read_wkt(df: DataFrame, wkt_col: str = "wkt",
     column (the other ubiquitous interchange text format — OGC Simple
     Features) into the regions shape. Same conventions as GeoJSON:
     positions are x y = lon lat, rings are closed on the wire and opened
-    here; only the outer ring of each polygon is taken (holes are
-    cover-unsupported); a MULTIPOLYGON explodes to one row per member
-    polygon (``part``) sharing the row's poly_id, so the spatial join's
-    poly_id pair-dedup gives union-of-parts containment. Other geometry
-    keywords surface as ``geom_type`` with a null ring — never silently
-    mis-parsed. Pure Column algebra (regexp + split + transform).
+    here; each part's first ring is the outer, later rings land in
+    ``holes`` (round 4 — previously documented-dropped); a MULTIPOLYGON
+    explodes to one row per member polygon (``part``) sharing the row's
+    poly_id, so the spatial join's poly_id pair-dedup gives
+    union-of-parts containment. Other geometry keywords surface as
+    ``geom_type`` with a null ring — never silently mis-parsed. Pure
+    Column algebra (regexp + split + transform).
 
     MULTIPOLYGON splitting: member polygons are separated by a
-    double-paren boundary ``)), ((`` — a hole boundary INSIDE one
-    polygon is a single ``), (`` and never matches — then each part's
-    outer ring is the text before its first ``)`` (dropping holes),
-    after stripping the keyword/paren prefix on the first part."""
+    double-paren boundary ``)), ((`` — a ring boundary INSIDE one
+    polygon is a single ``), (`` and never matches. Each part then
+    strips its keyword/paren prefix and trailing parens and splits its
+    rings on the single-paren boundary."""
     wkt = F.col(wkt_col)
     gtype = F.upper(F.trim(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1)))
     parts_txt = (
-        F.when(gtype == "POLYGON",
-               F.array(F.regexp_extract(wkt, r"\(\(([^)]*)\)", 1)))
+        F.when(gtype == "POLYGON", F.array(wkt))
         .when(gtype == "MULTIPOLYGON",
-              F.transform(
-                  F.split(wkt, r"\)\s*\)\s*,\s*\(\s*\("),
-                  # coordinates start with a digit/sign, so the prefix
-                  # run of letters/spaces/parens is only ever the
-                  # "MULTIPOLYGON (((" head of the first part
-                  lambda s: F.regexp_extract(
-                      s, r"^[A-Za-z\s]*\(*\s*([^()]*)", 1)))
+              F.split(wkt, r"\)\s*\)\s*,\s*\(\s*\("))
     )
     pid = F.col(id_col).cast("long") if id_col else F.abs(F.xxhash64(wkt))
     base = df.select(
         pid.alias("poly_id"), gtype.alias("geom_type"),
-        F.posexplode_outer(parts_txt).alias("part", "outer_txt"))
-    pairs = F.split(F.col("outer_txt"), r"\s*,\s*")
-    # try_cast: malformed coordinate tokens parse to null instead of an
-    # ANSI cast error — geom_type tells the caller why
-    closed = F.transform(pairs, lambda s: F.array(
-        F.split(F.trim(s), r"\s+").getItem(1).try_cast("double"),
-        F.split(F.trim(s), r"\s+").getItem(0).try_cast("double")))
-    ring = F.slice(closed, 1, F.greatest(F.size(closed) - 1, F.lit(1)))
+        F.posexplode_outer(parts_txt).alias("part", "part_txt"))
+    # coordinates start with a digit/sign, so the leading run of
+    # letters/spaces/parens is only ever the "POLYGON ((" /
+    # "MULTIPOLYGON (((" head; trailing parens close the geometry
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("part_txt"), r"^[A-Za-z\s]*\(+\s*", ""),
+        r"\s*\)+\s*$", "")
+    rings_txt = F.split(cleaned, r"\)\s*,\s*\(")
+    ring = _wkt_ring(rings_txt.getItem(0))
+    holes = F.transform(
+        F.when(F.size(rings_txt) > 1,
+               F.slice(rings_txt, 2, F.size(rings_txt) - 1))
+        .otherwise(F.array().cast("array<string>")),
+        _wkt_ring)
     lats = F.transform(ring, lambda v: v.getItem(0))
     lons = F.transform(ring, lambda v: v.getItem(1))
     return base.select(
         "poly_id", "part",
         ring.alias("ring"),
+        holes.alias("holes"),
         F.array_min(lats).alias("lat_min"), F.array_max(lats).alias("lat_max"),
         F.array_min(lons).alias("lon_min"), F.array_max(lons).alias("lon_max"),
         "geom_type",
     )
 
 
-def to_wkt(regions: DataFrame, ring_col: str = "ring") -> DataFrame:
-    """regions → (poly_id, wkt) POLYGON strings (ring re-closed,
-    lon-lat order)."""
-    closed = F.concat(F.col(ring_col), F.slice(F.col(ring_col), 1, 1))
+def _wkt_ring_txt(ring: Column) -> Column:
+    """Engine ring → ``(x y, x y, ...)`` wire text (re-closed)."""
+    closed = F.concat(ring, F.slice(ring, 1, 1))
     pts = F.transform(closed, lambda p: F.concat_ws(
         " ", p.getItem(1).cast("string"), p.getItem(0).cast("string")))
+    return F.concat(F.lit("("), F.array_join(pts, ", "), F.lit(")"))
+
+
+def _wkt_member(regions: DataFrame, ring_col: str, holes_col: str) -> Column:
+    """One polygon's ring list text ``((outer), (hole), ...)``."""
+    rings = F.array(_wkt_ring_txt(F.col(ring_col)))
+    if holes_col in regions.columns:
+        rings = F.concat(rings, F.transform(F.col(holes_col), _wkt_ring_txt))
+    return F.concat(F.lit("("), F.array_join(rings, ", "), F.lit(")"))
+
+
+def to_wkt(regions: DataFrame, ring_col: str = "ring",
+           holes_col: str = "holes") -> DataFrame:
+    """regions → (poly_id, wkt) POLYGON strings (rings re-closed,
+    lon-lat order, interior rings emitted when a ``holes`` column is
+    present)."""
     return regions.select(
         "poly_id",
-        F.concat(F.lit("POLYGON (("), F.array_join(pts, ", "),
-                 F.lit("))")).alias("wkt"))
+        F.concat(F.lit("POLYGON "),
+                 _wkt_member(regions, ring_col, holes_col)).alias("wkt"))
 
 
 def to_wkt_multi(regions: DataFrame, ring_col: str = "ring",
-                 part_col: str = "part") -> DataFrame:
+                 part_col: str = "part",
+                 holes_col: str = "holes") -> DataFrame:
     """Part rows → one ``MULTIPOLYGON ((( ... )), (( ... )))`` string
-    per poly_id, member polygons in part order (single-part ids emit a
-    1-member MULTIPOLYGON for uniform shape). One groupBy shuffle."""
-    closed = F.concat(F.col(ring_col), F.slice(F.col(ring_col), 1, 1))
-    pts = F.transform(closed, lambda p: F.concat_ws(
-        " ", p.getItem(1).cast("string"), p.getItem(0).cast("string")))
-    member = F.concat(F.lit("(("), F.array_join(pts, ", "), F.lit("))"))
+    per poly_id, member polygons in part order with per-part interior
+    rings (single-part ids emit a 1-member MULTIPOLYGON for uniform
+    shape). One groupBy shuffle."""
+    member = _wkt_member(regions, ring_col, holes_col)
     grouped = (regions
                .select("poly_id",
                        F.struct(F.col(part_col).alias("part"),

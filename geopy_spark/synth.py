@@ -84,30 +84,96 @@ def oracle_polygons(n: int = 24, seed: int = 1234) -> list[tuple[int, list[tuple
     return out
 
 
+def oracle_polygons_holed(n: int = 24, seed: int = 1234
+                          ) -> list[tuple[int, list, list]]:
+    """The oracle_polygons rings plus a deterministic interior ring
+    (hole) in every polygon where one provably fits: (poly_id, ring,
+    holes) with holes = [] or [hex_ring].
+
+    The hole is a regular hexagon centered at the vertex centroid with
+    circumradius 0.45x the centroid's distance to the nearest outer
+    edge — strictly inside the outer ring by construction (verified at
+    generation; polygons whose centroid falls outside, or too close to
+    an edge, get no hole). Vertices carry the same 6-decimal
+    non-trivial-last-digit rounding as the outer rings so the derived
+    3-decimal point grid stays clear of hole edges too (asserted in
+    tests/test_pip.py)."""
+    from .kernels import pip as _P
+    out = []
+    for pid, ring in oracle_polygons(n, seed):
+        holes: list = []
+        arr = np.asarray(ring, dtype=np.float64)
+        cy, cx = float(arr[:, 0].mean()), float(arr[:, 1].mean())
+        if _P.points_in_ring(np.array([cy]), np.array([cx]), arr)[0]:
+            d = _point_to_edges_dist(cy, cx, arr)
+            r = 0.45 * d
+            if r > 0.05:        # skip degenerate slivers
+                th = np.arange(6) * (math.pi / 3.0) + 0.37
+                hy = cy + r * np.sin(th)
+                hx = cx + r * np.cos(th)
+                hole = [(round(float(a) + 1.9e-6, 6),
+                         round(float(o) + 1.1e-6, 6))
+                        for a, o in zip(hy, hx)]
+                # rounding moved vertices ≤~2e-6: re-verify containment
+                if _P.points_in_ring(
+                        np.array([v[0] for v in hole]),
+                        np.array([v[1] for v in hole]), arr).all():
+                    holes = [hole]
+        out.append((pid, ring, holes))
+    return out
+
+
+def _point_to_edges_dist(py: float, px: float, ring: np.ndarray) -> float:
+    """Min distance from (py,px) to the ring's segments (planar degrees)."""
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    d = b - a
+    t = np.clip(((py - a[:, 0]) * d[:, 0] + (px - a[:, 1]) * d[:, 1])
+                / np.maximum((d * d).sum(axis=1), 1e-30), 0.0, 1.0)
+    proj = a + t[:, None] * d
+    return float(np.sqrt((proj[:, 0] - py) ** 2
+                         + (proj[:, 1] - px) ** 2).min())
+
+
+def _all_rings(poly) -> list:
+    """(pid, ring) or (pid, ring, holes) → [ring, *holes]."""
+    if len(poly) == 2:
+        return [poly[1]]
+    return [poly[1], *poly[2]]
+
+
 def polygons_edges_sql_values(polys) -> str:
     """Render polygons as a SQL VALUES list of edges for the DuckDB oracle:
-    (poly_id, y1, x1, y2, x2)."""
+    (poly_id, y1, x1, y2, x2). Hole rings' edges are listed under the same
+    poly_id — even-odd crossing parity over the flat edge list is exactly
+    outer-minus-holes containment, so the oracle query needs no change."""
     rows = []
-    for pid, ring in polys:
-        e = len(ring)
-        for k in range(e):
-            y1, x1 = ring[k]
-            y2, x2 = ring[(k + 1) % e]
-            rows.append(f"({pid}, {y1!r}, {x1!r}, {y2!r}, {x2!r})")
+    for poly in polys:
+        pid = poly[0]
+        for ring in _all_rings(poly):
+            e = len(ring)
+            for k in range(e):
+                y1, x1 = ring[k]
+                y2, x2 = ring[(k + 1) % e]
+                rows.append(f"({pid}, {y1!r}, {x1!r}, {y2!r}, {x2!r})")
     return ", ".join(rows)
 
 
 def polygons_pdf(polys) -> pd.DataFrame:
     """Polygons as a pandas frame: poly_id, name, ring(list[list[float]]),
-    bbox fields — the `regions` table shape (FIXTURES.md)."""
+    holes (list of rings, [] when solid), bbox fields — the `regions`
+    table shape (FIXTURES.md)."""
     recs = []
-    for pid, ring in polys:
+    for poly in polys:
+        pid, ring = poly[0], poly[1]
+        holes = poly[2] if len(poly) > 2 else []
         lats = [v[0] for v in ring]
         lons = [v[1] for v in ring]
         recs.append({
             "poly_id": pid,
             "name": f"region{pid}",
             "ring": [[float(a), float(o)] for a, o in ring],
+            "holes": [[[float(a), float(o)] for a, o in h] for h in holes],
             "lat_min": min(lats), "lat_max": max(lats),
             "lon_min": min(lons), "lon_max": max(lons),
         })

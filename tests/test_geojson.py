@@ -148,8 +148,8 @@ def test_multipolygon_read_parts_and_join_union(spark):
     assert [list(v) for v in rows[0].ring] == [
         [50.0, 10.0], [50.0, 12.0], [52.0, 12.0], [52.0, 10.0]]
 
-    regions = spark.createDataFrame(rows).select(
-        "poly_id", "name", "ring",
+    regions = read_geojson(df).select(
+        "poly_id", "name", "ring", "holes",
         "lat_min", "lat_max", "lon_min", "lon_max")
     pts = spark.createDataFrame(
         [(1, 51.0, 11.0),    # inside part 0
@@ -179,9 +179,9 @@ def test_multipolygon_roundtrip_multi_emit(spark):
     first = read_geojson(df).collect()
     assert len(first) == 4
     assert len({r.poly_id for r in first}) == 2  # one id per feature
-    back = read_geojson(to_geojson_multi(spark.createDataFrame(first)
-                                         .select("poly_id", "part", "name",
-                                                 "ring"))).collect()
+    back = read_geojson(to_geojson_multi(
+        read_geojson(df).select("poly_id", "part", "name",
+                                "ring", "holes"))).collect()
     a = {(r.poly_id, r.part): [list(v) for v in r.ring] for r in first}
     b = {(r.poly_id, r.part): [list(v) for v in r.ring] for r in back}
     # emitted ids are the original poly_ids (numeric strings), so the
@@ -206,9 +206,9 @@ def test_geojson_unsupported_geometry_surfaced(spark):
 
 
 def test_wkt_multipolygon_parsed(spark):
-    """MULTIPOLYGON parses to part rows (outer rings only — a hole in a
-    member polygon is dropped, not mis-split); POINT stays surfaced
-    with a null ring."""
+    """MULTIPOLYGON parses to part rows; a hole inside a member polygon
+    lands in that part's ``holes`` (round 4 — previously dropped), not
+    mis-split into a new part; POINT stays surfaced with a null ring."""
     from geopy_spark.sources.geojson import read_wkt
 
     df = spark.createDataFrame(
@@ -228,9 +228,12 @@ def test_wkt_multipolygon_parsed(spark):
     assert len({r.poly_id for r in mparts}) == 1
     assert [list(v) for v in mparts[0].ring] == [[0.0, 0.0], [0.0, 1.0],
                                                  [1.0, 1.0]]
-    # second member's OUTER ring only — the hole is dropped
+    # second member: outer ring + its hole preserved per part
     assert [list(v) for v in mparts[1].ring] == [
         [5.0, 5.0], [5.0, 7.0], [7.0, 7.0], [7.0, 5.0]]
+    assert [[list(v) for v in h] for h in mparts[1].holes] == [
+        [[5.5, 5.5], [5.5, 6.0], [6.0, 6.0]]]
+    assert list(mparts[0].holes) == []
     pt = next(r for r in out if r.geom_type == "POINT")
     assert pt.ring is None
 
@@ -244,7 +247,7 @@ def test_wkt_multipolygon_roundtrip(spark):
     first = read_wkt(df).collect()
     assert len(first) == 2
     back = read_wkt(to_wkt_multi(
-        spark.createDataFrame(first).select("poly_id", "part", "ring"),
+        read_wkt(df).select("poly_id", "part", "ring", "holes"),
     ), id_col="poly_id").collect()
     a = {(r.poly_id, r.part): [list(v) for v in r.ring] for r in first}
     b = {(r.poly_id, r.part): [list(v) for v in r.ring] for r in back}
@@ -284,3 +287,125 @@ def test_tile_bounds_and_geojson_handoff(spark):
     assert zs == z
     back = read_geojson(gj).filter(F.col("poly_id") == row.poly_id).first()
     assert abs(back.lon_max - back.lon_min - 360.0 / 2 ** z) < 1e-9
+
+
+def test_geojson_hole_roundtrip(spark):
+    """A Polygon with an interior ring survives read ∘ to_geojson ∘ read
+    exactly, and the wire format is RFC 7946 (coordinates[1:] are the
+    closed holes)."""
+    feat = {"type": "Feature", "id": "3", "properties": {"name": "donut"},
+            "geometry": {"type": "Polygon", "coordinates": [
+                [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+                 [0.0, 0.0]],
+                [[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0],
+                 [3.0, 3.0]],
+            ]}}
+    df = spark.createDataFrame([(json.dumps(feat),)], "geojson string")
+    r1 = read_geojson(df).collect()[0]
+    assert [[list(v) for v in h] for h in r1.holes] == [
+        [[3.0, 3.0], [3.0, 7.0], [7.0, 7.0], [7.0, 3.0]]]
+    wire = json.loads(to_geojson(read_geojson(df)).collect()[0].geojson)
+    coords = wire["geometry"]["coordinates"]
+    assert len(coords) == 2 and coords[1][0] == coords[1][-1]
+    r2 = read_geojson(to_geojson(read_geojson(df))).collect()[0]
+    assert [list(v) for v in r2.ring] == [list(v) for v in r1.ring]
+    assert [[list(v) for v in h] for h in r2.holes] == \
+        [[list(v) for v in h] for h in r1.holes]
+
+
+def test_wkt_hole_roundtrip(spark):
+    from geopy_spark.sources.geojson import read_wkt, to_wkt
+
+    src = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 3))"
+    df = spark.createDataFrame([(src,)], "wkt string")
+    r1 = read_wkt(df).collect()[0]
+    assert [[list(v) for v in h] for h in r1.holes] == [
+        [[3.0, 3.0], [3.0, 7.0], [7.0, 7.0]]]
+    wkt2 = to_wkt(read_wkt(df)).collect()[0].wkt
+    assert wkt2.count("(") == 3  # outer + hole + wrapper
+    r2 = read_wkt(spark.createDataFrame([(wkt2,)], "wkt string")).collect()[0]
+    assert [list(v) for v in r2.ring] == [list(v) for v in r1.ring]
+    assert [[list(v) for v in h] for h in r2.holes] == \
+        [[list(v) for v in h] for h in r1.holes]
+
+
+def test_spatial_join_respects_geojson_holes(spark):
+    """End-to-end: a donut region parsed from GeoJSON excludes points in
+    its hole and keeps points in the band + on the hole rim — through
+    the full cover/join/PIP chain."""
+    from geopy_spark.operators.spatial_join import spatial_join
+
+    feat = {"type": "Feature", "id": "5", "properties": {"name": "donut"},
+            "geometry": {"type": "Polygon", "coordinates": [
+                [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+                 [0.0, 0.0]],
+                [[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0],
+                 [3.0, 3.0]],
+            ]}}
+    regions = read_geojson(
+        spark.createDataFrame([(json.dumps(feat),)], "geojson string"))
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0),    # hole interior → excluded
+         (2, 1.0, 1.0),    # band → kept
+         (3, 5.0, 3.0),    # on hole rim → kept (boundary is polygon)
+         (4, 12.0, 5.0)],  # outside → excluded
+        "point_id long, lat double, lon double")
+    got = {(r.point_id, r.poly_id)
+           for r in spatial_join(pts, regions, point_id="point_id",
+                                 level=6).collect()}
+    assert got == {(2, 5), (3, 5)}
+
+
+def test_antimeridian_split_and_join_both_sides(spark):
+    """A Fiji-style wrap-crossing polygon (lon jumps +177 → −178) splits
+    into two in-range parts; the spatial join then finds points on BOTH
+    sides of the seam via the existing union-of-parts semantics, and a
+    seam-straddling hole still excludes its interior."""
+    from geopy_spark.operators.spatial_join import spatial_join
+    from geopy_spark.sources.geojson import split_antimeridian
+
+    feat = {"type": "Feature", "id": "11", "properties": {"name": "fiji"},
+            "geometry": {"type": "Polygon", "coordinates": [
+                [[177.0, -18.0], [-178.0, -18.0], [-178.0, -15.0],
+                 [177.0, -15.0], [177.0, -18.0]],
+                [[179.0, -17.0], [-179.5, -17.0], [-179.5, -16.0],
+                 [179.0, -16.0], [179.0, -17.0]],
+            ]}}
+    raw = read_geojson(
+        spark.createDataFrame([(json.dumps(feat),)], "geojson string"))
+    regions = split_antimeridian(raw)
+    rows = regions.collect()
+    assert len(rows) == 2                       # west + east of the seam
+    assert {r.part for r in rows} == {0, 1}
+    for r in rows:
+        lons = [v[1] for v in r.ring]
+        assert max(lons) <= 180.0 and min(lons) >= -180.0
+        assert r.lon_min == min(lons) and r.lon_max == max(lons)
+    assert sum(len(r.holes) for r in rows) == 2  # hole clipped into both
+
+    pts = spark.createDataFrame(
+        [(1, -16.0, 179.0),    # west of seam, in band (lat above hole? no: inside hole lat range...)
+         (2, -16.5, -179.7),   # east of seam, inside the hole → excluded
+         (3, -15.5, -179.0),   # east of seam, band above the hole → kept
+         (4, -16.0, 0.0)],     # far away
+        "point_id long, lat double, lon double")
+    got = {(r.point_id, r.poly_id)
+           for r in spatial_join(pts, regions, point_id="point_id",
+                                 level=6).collect()}
+    # point 1 at lat -16.0 sits ON the hole's top edge (lat -16) → rim
+    # counts as inside the polygon
+    assert got == {(1, 11), (3, 11)}
+
+
+def test_antimeridian_noncrossing_passthrough(spark):
+    """split_antimeridian leaves a normal regions frame byte-identical
+    (same rows, same rings) — safe to put in every ingest path."""
+    from geopy_spark.sources.geojson import split_antimeridian
+
+    regions = spark.createDataFrame(
+        synth.polygons_pdf(synth.oracle_polygons_holed(8)),
+        schema=_REGIONS_SCHEMA)
+    out = split_antimeridian(regions)
+    a = {r.poly_id: [list(v) for v in r.ring] for r in regions.collect()}
+    b = {r.poly_id: [list(v) for v in r.ring] for r in out.collect()}
+    assert a == b

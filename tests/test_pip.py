@@ -109,7 +109,7 @@ def test_oracle_fixture_points_clear_of_boundaries():
 
     from geopy_spark import synth
 
-    polys = synth.oracle_polygons()
+    polys = synth.oracle_polygons_holed()   # outer rings AND hole rings
     margin = 1e-6  # >> engine EPS (1e-9)
     for sf in ("sf0.001", "sf0.01"):
         keys = duckdb.sql(
@@ -117,7 +117,8 @@ def test_oracle_fixture_points_clear_of_boundaries():
         ).df()["c_custkey"].to_numpy()
         plat = synth.derived_lat_np(keys)
         plon = synth.derived_lon_np(keys)
-        for _, ring in polys:
+        for poly in polys:
+          for ring in synth._all_rings(poly):
             r = np.asarray(ring, dtype=np.float64)
             y1, x1 = r[:, 0], r[:, 1]
             y2, x2 = np.roll(y1, -1), np.roll(x1, -1)
@@ -135,3 +136,86 @@ def test_oracle_fixture_points_clear_of_boundaries():
             # no point latitude within margin of a vertex latitude (the
             # parity test's strict-inequality flip zone)
             assert np.abs(plat[:, None] - y1[None, :]).min() > margin
+
+
+# ------------------------------- interior rings (holes, round 4) ------
+
+DONUT_OUTER = np.array([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]])
+DONUT_HOLE = np.array([[3.0, 3.0], [3.0, 7.0], [7.0, 7.0], [7.0, 3.0]])
+
+
+def test_donut_containment():
+    lat = np.array([5.0, 1.0, 5.0, 3.0, 11.0, 0.0])
+    lon = np.array([5.0, 1.0, 3.0, 3.0, 5.0, 5.0])
+    got = P.points_in_polygon(lat, lon, DONUT_OUTER, holes=[DONUT_HOLE])
+    # center (in hole) OUT; ring band IN; hole rim IN (boundary belongs
+    # to the polygon); outer edge IN; outside OUT
+    assert list(got) == [False, True, True, True, False, True]
+    # no holes → solid semantics unchanged
+    assert list(P.points_in_polygon(lat, lon, DONUT_OUTER)) == [
+        True, True, True, True, False, True]
+
+
+def test_hole_strict_interior_vs_inclusive():
+    lat = np.array([5.0, 3.0])
+    lon = np.array([5.0, 3.0])
+    assert list(P.points_in_ring(lat, lon, DONUT_HOLE)) == [True, True]
+    assert list(P.points_in_ring_interior(lat, lon, DONUT_HOLE)) == [True, False]
+
+
+def test_polygon_cover_subtracts_swallowed_cells_only():
+    """Cover with the hole must stay a superset of the polygon's true
+    cells (no false negatives), prune at least the hole's deep-interior
+    cells at a fine level, and keep every rim-straddling cell."""
+    from geopy_spark.kernels.cells import cell_encode
+
+    for lvl in (6, 8, 10):
+        solid = set(P.polygon_cover(DONUT_OUTER, lvl).tolist())
+        holed = set(P.polygon_cover(DONUT_OUTER, lvl, holes=[DONUT_HOLE]).tolist())
+        assert holed <= solid
+        rng = np.random.default_rng(11)
+        la = rng.uniform(-1, 11, 6000)
+        lo = rng.uniform(-1, 11, 6000)
+        ins = P.points_in_polygon(la, lo, DONUT_OUTER, holes=[DONUT_HOLE])
+        assert set(cell_encode(la[ins], lo[ins], lvl).tolist()) <= holed
+    # at level 10 (0.176° cells) the 4°-wide hole interior must prune
+    assert len(holed) < len(solid)
+
+
+def test_fixture_holes_witnessed():
+    """Every fixture polygon carries a hole, each hole's vertices are
+    strictly inside its outer ring, and the hole excludes its own
+    centroid — the driver's spatial_join_pip row genuinely tests holes."""
+    from geopy_spark import synth
+    polys = synth.oracle_polygons_holed()
+    assert all(len(h) == 1 for _, _, h in polys)
+    for _, ring, holes in polys:
+        r = np.asarray(ring)
+        h = np.asarray(holes[0])
+        assert P.points_in_ring(h[:, 0], h[:, 1], r).all()
+        cy, cx = h[:, 0].mean(), h[:, 1].mean()
+        assert not P.points_in_polygon(
+            np.array([cy]), np.array([cx]), r, holes=[h])[0]
+
+
+def test_even_odd_flat_edges_equals_outer_minus_holes():
+    """The DuckDB oracle computes even-odd parity over the FLAT edge
+    list of all rings; the kernel computes outer-minus-strict-holes.
+    They must agree everywhere off the boundary — the exact invariant
+    the driver compare rests on."""
+    rng = np.random.default_rng(3)
+    la = rng.uniform(-1, 11, 20000)
+    lo = rng.uniform(-1, 11, 20000)
+    kernel = P.points_in_polygon(la, lo, DONUT_OUTER, holes=[DONUT_HOLE])
+    # flat parity: crossings over outer edges + hole edges
+    def crossings(ring):
+        y1, x1 = ring[:, 0], ring[:, 1]
+        y2, x2 = np.roll(y1, -1), np.roll(x1, -1)
+        py, px = la[:, None], lo[:, None]
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (py - y1) * (x2 - x1) / np.where(
+                (y2 - y1) == 0, 1.0, y2 - y1)
+        return (cond & (px < xint)).sum(axis=1)
+    parity = (crossings(DONUT_OUTER) + crossings(DONUT_HOLE)) % 2 == 1
+    assert (kernel == parity).all()

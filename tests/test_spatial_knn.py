@@ -123,3 +123,43 @@ def test_knn_nonbroadcast_path_equals_broadcast(spark, points_pdf):
          for r in knn_join(qs, pts, k=4, level=4, point_id="id",
                            broadcast_max_cells=0).collect()}
     assert a == b and len(a) == 12 * 4
+
+
+def test_holes_arrow_transport(spark):
+    """Regression pin for the round-4 workaround in
+    operators/spatial_join._holes_transport: this Spark build's Arrow
+    writer produces a batch pyarrow segfaults on for EXPRESSION-computed
+    empty 3-deep arrays, so holes cross the Python boundary flattened
+    (2-deep points + per-hole sizes). The cover/PIP UDFs must work on a
+    frame whose holes column is computed (geojson-style when/slice
+    expressions), not only createDataFrame-materialized."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geopy_spark.operators.spatial_join import (pip_udf,
+                                                    polygon_cover_udf)
+
+    ring = [[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]]
+    hole = [[3.0, 3.0], [3.0, 7.0], [7.0, 7.0], [7.0, 3.0]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [1, 2], "ring": [ring, ring],
+                      "want_hole": [True, False]}))
+    # computed holes: when/otherwise with an empty-array literal — the
+    # exact shape that crashed the worker before the flat transport
+    computed = df.withColumn(
+        "holes",
+        F.when(F.col("want_hole"),
+               F.array(F.lit(hole).cast("array<array<double>>")))
+        .otherwise(F.array().cast("array<array<array<double>>>")))
+    cov = computed.select(
+        "poly_id",
+        F.size(polygon_cover_udf(F.col("ring"), 8,
+                                 holes=F.col("holes"))).alias("n")).collect()
+    n = {r.poly_id: r.n for r in cov}
+    assert n[1] < n[2]   # hole pruned cells from the same outer ring
+
+    hits = computed.select(
+        "poly_id",
+        pip_udf(F.lit(5.0), F.lit(5.0), F.col("poly_id"), F.col("ring"),
+                holes=F.col("holes")).alias("hit")).collect()
+    assert {r.poly_id: r.hit for r in hits} == {1: False, 2: True}
