@@ -65,6 +65,23 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
     raise ValueError(f"unknown algorithm {algorithm!r}")
 
 
+def _edge_signature(edges: DataFrame) -> tuple[int, object]:
+    """(row count, order-insensitive content checksum) of a distinct edge
+    set in ONE scalar aggregate — the star loop's fixpoint test. Replaces
+    the round-3 ``exceptAll(...).count()`` set comparison, which cost a
+    full second shuffle per round just to test convergence (ADVICE r3).
+    The checksum is an exact decimal sum of xxhash64(u,v): two distinct
+    edge sets agreeing on BOTH count and sum requires the symmetric
+    difference's hashes to cancel exactly — probability ~2^-64 per round,
+    negligible against the workload (duplicate-cluster detection).
+    decimal(38,0) keeps the sum exact under ANSI mode at any row count
+    (no long overflow)."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s")).first()
+    return int(row["n"]), row["s"]
+
+
 def _cc_star(pairs: DataFrame, a: str, b: str, max_iter: int,
              checkpoint_dir: str | None) -> DataFrame:
     ckpt = _checkpointer(pairs, checkpoint_dir)
@@ -79,7 +96,7 @@ def _cc_star(pairs: DataFrame, a: str, b: str, max_iter: int,
                  .select(F.greatest("x", "y").alias("u"),
                          F.least("x", "y").alias("v"))
                  .distinct())
-    n_edges = edges.count()
+    sig_edges = _edge_signature(edges)
 
     for _ in range(max_iter):
         # large-star: around each center u (over the SYMMETRIZED
@@ -106,11 +123,11 @@ def _cc_star(pairs: DataFrame, a: str, b: str, max_iter: int,
                                             F.col("m").alias("v")))
                      .distinct())
 
-        n_new = small.count()
-        if n_new == n_edges and small.exceptAll(edges).count() == 0:
+        sig_new = _edge_signature(small)
+        if sig_new == sig_edges:
             edges = small
             break
-        edges, n_edges = small, n_new
+        edges, sig_edges = small, sig_new
     else:
         raise RuntimeError(
             f"connected_components(star): no fixpoint in {max_iter} rounds")

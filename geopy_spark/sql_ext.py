@@ -34,10 +34,10 @@ def _expr_sql(spark: SparkSession, args_decl: str, col: Column) -> str:
     sel = probe.select(col.alias("__body"))
     if not hasattr(sel, "_jdf"):  # Spark Connect: no py4j plan access
         raise RuntimeError(
-            "install_sql_functions needs a classic (py4j) SparkSession to "
-            "render Column bodies as SQL; Spark Connect sessions are not "
-            "supported — run the generated CREATE FUNCTION statements from "
-            "a classic session once and reuse them")
+            "_expr_sql needs a classic (py4j) SparkSession to render "
+            "Column bodies as SQL; on Spark Connect, "
+            "install_sql_functions falls back to the pinned golden "
+            "bodies (sql_golden.py) automatically")
     alias = sel._jdf.queryExecution().analyzed().expressions().apply(0)
     return alias.child().sql()
 
@@ -84,13 +84,30 @@ def _scalar_defs() -> list:
     ]
 
 
+def _is_classic(spark: SparkSession) -> bool:
+    """True for a py4j-backed session (Connect DataFrames have no _jdf).
+    Seam for tests to force the golden-body fallback path."""
+    return hasattr(spark.sql("SELECT 1"), "_jdf")
+
+
 def install_sql_functions(spark: SparkSession) -> list:
     """Register the engine's SQL surface on this session; returns the
-    installed function names. Idempotent (OR REPLACE)."""
+    installed function names. Idempotent (OR REPLACE).
+
+    Classic sessions render the bodies LIVE from the Column defs (single
+    source of truth). Spark Connect sessions have no py4j plan access,
+    so they register from the pinned golden bodies (``sql_golden.py`` —
+    byte-identical text, drift-guarded by a pytest that regenerates from
+    the live defs; round 4)."""
+    from .sql_golden import GOLDEN_BODIES
+
+    classic = _is_classic(spark)
     names = []
     for name, args, rtype, body in _scalar_defs():
+        body_sql = (_expr_sql(spark, args, body) if classic
+                    else GOLDEN_BODIES[name])
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
-                  f"RETURNS {rtype} RETURN {_expr_sql(spark, args, body)}")
+                  f"RETURNS {rtype} RETURN {body_sql}")
         names.append(name)
 
     # python-kernel functions: same names, Arrow-batched pandas UDFs

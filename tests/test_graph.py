@@ -84,3 +84,23 @@ def test_cc_fixpoint_guard_raises(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(df, algorithm="hashmin", max_iter=2)
+
+
+def test_edge_signature_order_insensitive_and_discriminating(spark):
+    """The round-4 fixpoint test: one scalar agg replaces the per-round
+    exceptAll set comparison. Same edge set under any row order or
+    partitioning → same signature; any single-edge difference → differs."""
+    from geopy_spark.operators.graph import _edge_signature
+
+    import pandas as pd
+    e = pd.DataFrame({"u": [5, 9, 12, 40], "v": [1, 1, 3, 12]})
+    a = spark.createDataFrame(e)
+    b = spark.createDataFrame(e.iloc[::-1]).repartition(7)
+    assert _edge_signature(a) == _edge_signature(b)
+    c = spark.createDataFrame(pd.DataFrame({"u": [5, 9, 12, 41],
+                                            "v": [1, 1, 3, 12]}))
+    assert _edge_signature(a) != _edge_signature(c)
+    # same count, single swapped pair — the case bare count() misses
+    d = spark.createDataFrame(pd.DataFrame({"u": [5, 9, 3, 40],
+                                            "v": [1, 1, 12, 12]}))
+    assert _edge_signature(a) != _edge_signature(d)

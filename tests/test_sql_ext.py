@@ -114,3 +114,41 @@ def test_sql_udf_inlines_into_codegen_plan(spark, installed, probe):
     from geopy_spark.plans.explain import plan_text
     plan = plan_text(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_golden_bodies_match_live(spark):
+    """Drift guard for the Spark Connect fallback (round 4): the pinned
+    golden SQL bodies must equal a live render from the Column defs.
+    When this fails, re-run tools/gen_sql_golden.py."""
+    from geopy_spark.sql_ext import _expr_sql, _scalar_defs
+    from geopy_spark.sql_golden import GOLDEN_BODIES
+
+    live = {name: _expr_sql(spark, args, body)
+            for name, args, _r, body in _scalar_defs()}
+    assert live == GOLDEN_BODIES
+
+
+def test_connect_fallback_registers_and_executes(spark, monkeypatch):
+    """With plan access denied (Connect simulation), install must still
+    register every function from the goldens, and the functions must
+    compute the same values as the live-rendered ones."""
+    import geopy_spark.sql_ext as SE
+
+    monkeypatch.setattr(SE, "_is_classic", lambda s: False)
+    # _expr_sql must not be consulted at all on the fallback path
+    monkeypatch.setattr(SE, "_expr_sql",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("live render on Connect path")))
+    names = SE.install_sql_functions(spark)
+    assert "haversine_m" in names and "cell_encode" in names
+    row = spark.sql(
+        "SELECT haversine_m(0.0D, 0.0D, 0.0D, 1.0D) AS d, "
+        "       tile_x(179.9D, 4) AS tx, "
+        "       token_count('a b  c') AS tc, "
+        "       cell_encode(10.5D, -20.25D, 8) AS cell").first()
+    assert abs(row.d - 111194.9) < 100
+    assert row.tx == 15 and row.tc == 3
+    from geopy_spark.kernels import cells as K
+    import numpy as np
+    assert row.cell == int(K.cell_encode(np.array([10.5]),
+                                         np.array([-20.25]), 8)[0])
