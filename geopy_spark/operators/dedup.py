@@ -186,7 +186,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                       bands: int = 16, ngram: int = 3,
                       threshold: float = 0.5,
                       max_bucket: int | None = DEFAULT_MAX_BUCKET,
-                      text_lookup: DataFrame | None = None) -> DataFrame:
+                      text_lookup: DataFrame | None = None,
+                      prefilter_singletons: bool = False) -> DataFrame:
     """Near-dup candidate pairs (a < b) with exact Jaccard ≥ threshold.
 
     signature → `bands` bands of num_perm/bands rows each → bucket hash →
@@ -204,7 +205,21 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     scan-backed table here keeps the verify joins scan-cheap. Results are
     identical because candidate pairs only carry ids drawn from ``docs``
     (measured on the EP-4 300k-doc run: near_pairs stage 206.6s → the
-    subplan re-execution was ~80% of it)."""
+    subplan re-execution was ~80% of it).
+
+    ``prefilter_singletons``: persist the banded keys once, count rows
+    per packed key in a codegen HashAggregate (longs only, map-side
+    combined), and broadcast-semi-join the ≥2-member keys back before
+    the collect_list shuffle. On a typical corpus ~95% of (band, bucket)
+    keys are singletons that can never form a pair, yet they dominate
+    the ObjectHashAggregate shuffle and its spill — the count pass
+    shuffles the same row count but as bare (long, long) partial counts
+    through whole-stage codegen, and the expensive struct-array agg then
+    only sees rows that can pair. Caveats: the hot-key set must fit in a
+    broadcast (it is ~16·n_duplicate_docs keys — at 10^9+ duplicate
+    docs, materialize signatures to a table and prune there instead),
+    and the banded frame stays persisted until the session drops it
+    (MEMORY_AND_DISK, ~16 bytes x bands per doc)."""
     rows = num_perm // bands
     sig = docs.select(F.col(id_col).alias("id"),
                       minhash_sig_udf(F.col(text_col), num_perm, ngram).alias("sig"))
@@ -224,6 +239,17 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             for bnd in range(bands)
         ])).alias("bkey"),
     )
+    if prefilter_singletons:
+        from pyspark import StorageLevel
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        # keys that can form a pair AND survive the degenerate-bucket cap
+        # (the cap re-applies inside _bucket_pairs; filtering here just
+        # keeps capped buckets' rows out of the wide shuffle too)
+        hot = banded.groupBy("bkey").count().filter(F.col("count") >= 2)
+        if max_bucket is not None:
+            hot = hot.filter(F.col("count") <= max_bucket)
+        banded = banded.join(F.broadcast(hot.select("bkey")), "bkey",
+                             "left_semi")
     pairs = (_bucket_pairs(banded, ["bkey"], max_bucket)
              .select(F.col("l.id").alias("a"), F.col("r.id").alias("b")))
 

@@ -7,25 +7,30 @@ operators end-to-end with the same icetab snapshot/resume discipline:
 
 Stages (each one atomic snapshot; --resume skips committed ones):
   1. features   — lang-id, quality score, whitespace + BPE token counts,
-                  content fingerprint per doc (pure Column codegen: one
-                  narrow scan, zero UDFs, zero shuffles).
-  2. exact_dups — normalized-fingerprint duplicate groups (one hash agg;
-                  document bodies never shuffle — only the 8-byte fp).
+                  content fingerprint per doc (single-pass mapInPandas by
+                  default; one narrow scan, zero shuffles).
+  2. exact_dups — normalized-fingerprint duplicate groups, aggregated
+                  straight off the committed features partition (its fp
+                  is parity-pinned to fingerprint(text)) — one hash agg
+                  over (fp, doc_id); document bodies are never re-read.
   3. near_pairs — MinHash+LSH candidate pairs with exact-Jaccard verify
                   on quality-passing, exact-unique docs (bucketed join,
-                  never all-pairs; bucket-size guard logs drops).
-  4. survivors  — doc_ids kept after quality filter, exact dedup
-                  (min-id canonical per fp group) and near-dup pruning
-                  (min-id rule: every pair (a<b) drops b — keeps the
-                  minimum of each duplicate component, possibly another
-                  local minimum in chain-shaped components; the standard
-                  corpus-dedup approximation, O(1) passes instead of an
-                  iterative connected-components loop).
-  5. stats      — per-language corpus stats over survivors (docs, token
-                  sums, mean quality) — the pipeline's integrity gate:
-                  a pytest compares it against an independently computed
-                  single-pass twin, and kill-resume must reproduce it
-                  byte-identically.
+                  never all-pairs; bucket-size guard logs drops). The
+                  input set is formed by anti-joining the SMALL drop sets
+                  (low-quality ids ∪ exact-dup members) against docs.
+  4. finalize   — one atomic snapshot committing BOTH:
+                  survivors — doc_ids kept after quality filter, exact
+                  dedup (min-id canonical per fp group) and near-dup
+                  pruning (min-id rule: every pair (a<b) drops b — keeps
+                  the minimum of each duplicate component, possibly
+                  another local minimum in chain-shaped components; the
+                  standard corpus-dedup approximation, O(1) passes
+                  instead of an iterative connected-components loop);
+                  stats — per-language corpus stats over survivors
+                  (docs, token sums, mean quality) — the pipeline's
+                  integrity gate: a pytest compares it against an
+                  independently computed single-pass twin, and
+                  kill-resume must reproduce it byte-identically.
 
 Scale notes (100 TB): stage 1 is a map-only scan; stage 2 shuffles 16
 bytes/doc; stage 3's signature shuffle carries 8B+64×4B per doc and
@@ -49,7 +54,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from geopy_spark.functions import text as T  # noqa: E402
-from geopy_spark.operators.dedup import exact_dedup, minhash_lsh_pairs  # noqa: E402
+from geopy_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
 from geopy_spark.session import get_spark  # noqa: E402
 from geopy_spark.sources.tableio import open_table  # noqa: E402
 
@@ -182,32 +187,53 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
     feats = table.read_partition(spark, "features")
     qpass = feats.filter(F.col("quality") >= args.min_quality)
 
-    # ---- stage 2: exact duplicate groups on quality-passing docs
+    # ---- stage 2: exact duplicate groups on quality-passing docs.
+    # Computed FROM THE FEATURES PARTITION, not the raw docs: stage 1
+    # already materialized fingerprint(text) per doc (both impls are
+    # parity-pinned to byte-identical fp), so grouping feats by fp is
+    # row-identical to exact_dedup(docs ⋉ qpass) while touching zero
+    # document bodies and broadcasting zero id sets — the round-3 bench
+    # showed this stage scaling at 0.44 N→4N purely on the redundant
+    # body re-scan + 1M-id broadcast build (a serial driver tail).
     if "exact_dups" not in committed:
-        qdocs = docs.join(_maybe_bcast(qpass.select("doc_id"), n_docs),
-                          "doc_id", "left_semi")
+        dups_from_feats = (qpass.groupBy("fp")
+                           .agg(F.min("doc_id").alias("keep_id"),
+                                F.count("*").alias("n_dups"))
+                           .filter(F.col("n_dups") > 1))
         _timed("exact_dups", lambda: table.commit(
-            [table.write_partition(exact_dedup(qdocs), "exact_dups")], run_id))
+            [table.write_partition(dups_from_feats, "exact_dups")], run_id))
 
     dups = table.read_partition(spark, "exact_dups")
     # members of a fp-group other than the canonical min id
     exact_drop = (qpass.join(_maybe_bcast(dups, n_docs), "fp")
                   .filter(F.col("doc_id") != F.col("keep_id"))
                   .select("doc_id"))
-    exact_unique = qpass.join(_maybe_bcast(exact_drop, n_docs),
-                              "doc_id", "left_anti").select("doc_id")
+    # quality-passing + exact-unique feature rows (all feats columns —
+    # stages 4/5 both derive from this). Broadcast policy from here on:
+    # always broadcast the DROP sets (dup members, near-dup b's, low-q
+    # ids), never the survivor sets — drops are typically 10-50x smaller,
+    # and the broadcast build is a serial driver tail that lands straight
+    # on the N→4N scaling ratio.
+    exact_unique_feats = qpass.join(_maybe_bcast(exact_drop, n_docs),
+                                    "doc_id", "left_anti")
+    exact_unique = exact_unique_feats.select("doc_id")
 
     # ---- stage 3: near-dup pairs on exact-unique quality docs
     if "near_pairs" not in committed:
-        nd_in = docs.join(_maybe_bcast(exact_unique, n_docs), "doc_id",
-                          "left_semi")
+        # same id set as docs ⋉ exact_unique, via the complement: docs
+        # minus low-quality minus exact-dup members (small broadcasts)
+        lowq = feats.filter(F.col("quality") < args.min_quality).select("doc_id")
+        nd_in = docs.join(
+            _maybe_bcast(lowq.unionByName(exact_drop), n_docs),
+            "doc_id", "left_anti")
         # text_lookup=docs: verify-stage text joins read the raw parquet
         # scan instead of re-executing the semi-join chain behind nd_in
         # (pairs only carry nd_in ids, so results are identical)
         pairs = minhash_lsh_pairs(nd_in, num_perm=args.num_perm,
                                   bands=args.bands,
                                   threshold=args.threshold,
-                                  text_lookup=docs)
+                                  text_lookup=docs,
+                                  prefilter_singletons=True)
         _timed("near_pairs", lambda: table.commit(
             [table.write_partition(pairs, "near_pairs")], run_id))
 
@@ -226,37 +252,42 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
         # components; --exact-components upgrades to true CC
         near_drop = pairs.select(F.col("b").alias("doc_id")).distinct()
 
-    # ---- stage 4: surviving doc ids
-    if "survivors" not in committed:
-        surv = (exact_unique.join(_maybe_bcast(near_drop, n_docs),
-                                  "doc_id", "left_anti")
-                .sortWithinPartitions("doc_id"))
-        _timed("survivors", lambda: table.commit(
-            [table.write_partition(surv, "survivors")], run_id))
-
-    survivors = table.read_partition(spark, "survivors")
-
-    # ---- stage 5: per-language stats over survivors (the integrity gate)
-    if "stats" not in committed:
-        stats = (feats.join(_maybe_bcast(survivors, n_docs), "doc_id",
-                            "left_semi")
-                 .groupBy("lang")
-                 .agg(F.count("*").alias("n_docs"),
-                      F.sum("n_tokens").alias("sum_tokens"),
-                      F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
-                      F.round(F.avg("quality"), 6).alias("avg_quality"))
-                 .sortWithinPartitions("lang"))
-        _timed("stats", lambda: table.commit(
-            [table.write_partition(stats, "stats")], run_id))
+    # ---- stages 4+5: surviving doc ids + per-language stats (the
+    # integrity gate), ONE atomic snapshot. Both frames derive from the
+    # same surv_feats subplan (feats minus drops — deterministic given
+    # the committed features/exact_dups/near_pairs partitions, so
+    # kill-resume reproduces them byte-identically), and each commit
+    # carries a constant ~1s snapshot tail that is pure Amdahl tax on
+    # the N→4N ratio — batching the two cheap finalize stages halves it.
+    surv_feats = exact_unique_feats.join(_maybe_bcast(near_drop, n_docs),
+                                         "doc_id", "left_anti")
+    need_surv = "survivors" not in committed
+    need_stats = "stats" not in committed
+    if need_surv or need_stats:
+        def _finalize():
+            pending = []
+            if need_surv:
+                pending.append(table.write_partition(
+                    surv_feats.select("doc_id")
+                    .sortWithinPartitions("doc_id"), "survivors"))
+            if need_stats:
+                stats = (surv_feats
+                         .groupBy("lang")
+                         .agg(F.count("*").alias("n_docs"),
+                              F.sum("n_tokens").alias("sum_tokens"),
+                              F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
+                              F.round(F.avg("quality"), 6).alias("avg_quality"))
+                         .sortWithinPartitions("lang"))
+                pending.append(table.write_partition(stats, "stats"))
+            table.commit(pending, run_id)
+        _timed("finalize", _finalize)
 
     # ---- stage 6 (opt-in): pack survivors into fixed-budget training
     # sequences per language (operators/trainprep concat-and-chunk) —
     # the handoff artifact a pretraining loader consumes
     if getattr(args, "pack_budget", None) and "sequences" not in committed:
         from geopy_spark.operators.trainprep import pack_sequences
-        pk_in = (feats.join(_maybe_bcast(survivors, n_docs), "doc_id",
-                            "left_semi")
-                 .select("doc_id", "lang", "n_tokens"))
+        pk_in = surv_feats.select("doc_id", "lang", "n_tokens")
         _timed("sequences", lambda: table.commit(
             [table.write_partition(
                 pack_sequences(pk_in, args.pack_budget, shard_col="lang")

@@ -46,6 +46,18 @@ def test_minhash_finds_neardups(docs_df):
     # jaccard values match exact shingle jaccard (verified stage IS exact)
 
 
+def test_minhash_singleton_prefilter_identical_pairs(docs_df):
+    """The count-pass singleton prefilter is a pure plan optimization:
+    singleton (band, bucket) keys can never form a pair, so dropping them
+    before the collect_list shuffle must leave the verified pair set
+    byte-identical (EP-4 wires prefilter_singletons=True)."""
+    base = dedup.minhash_lsh_pairs(docs_df, threshold=0.5)
+    pre = dedup.minhash_lsh_pairs(docs_df, threshold=0.5,
+                                  prefilter_singletons=True)
+    as_set = lambda df: {(r.a, r.b, r.jaccard) for r in df.collect()}
+    assert as_set(base) == as_set(pre) and base.count() > 0
+
+
 def test_minhash_no_false_positives_above_threshold(docs_df):
     pairs = dedup.minhash_lsh_pairs(docs_df, threshold=0.9)
     for r in pairs.collect():
