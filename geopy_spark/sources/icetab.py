@@ -144,6 +144,15 @@ class IceTable:
     def committed_partitions(self) -> set[str]:
         return {r["partition"] for r in self.manifest_rows()}
 
+    def partition_rows(self, partition: str,
+                       version: int | None = None) -> int:
+        """Exact committed row count of a partition from manifest
+        metadata alone (write_partition records per-file footer counts)
+        — an O(manifest) driver read, zero Spark jobs. The Iceberg
+        analogue is summing record_count over a snapshot's data files."""
+        return sum(r["rows"] for r in self.manifest_rows(version)
+                   if r["partition"] == partition)
+
     # ----------------------------------------------------------------- read
     def plan_files(self, where: dict | None = None,
                    version: int | None = None) -> tuple[list[str], int]:

@@ -1,0 +1,114 @@
+"""Streaming spatial join (S-series × G-series composition): a stream of
+timestamped points joined against a static polygon table, with windowed
+per-polygon aggregation — the live-ingest counterpart of
+operators/spatial_join (G6) built on the same kernels.
+
+Plan shape: the polygon side is prepared ONCE as an exploded cell cover
+(static, broadcast into every micro-batch — stream-static equi-joins are
+stateless in Structured Streaming, so no join state accumulates), each
+micro-batch encodes point cells in a vectorized Arrow UDF, joins on
+`cell`, prunes with the bbox Column filter, and applies the exact PIP
+residual. Containment semantics are byte-identical to the batch G6
+operator: same cover (conservative superset), same bbox prune, same
+outer-minus-holes PIP kernel — a pytest pins streamed pairs == batch
+spatial_join pairs on the same rows.
+
+Scale notes (10^12-image firehose): per-batch work is a narrow map +
+broadcast hash join — no shuffle before the windowed aggregation, whose
+state is bounded by (windows in watermark horizon) × (polygons), not by
+input rows. The static cover must fit a broadcast (same
+BROADCAST_MAX_COVER_ROWS bound as batch); for continental vector sides,
+run the batch operator on micro-batches via foreachBatch instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+from ..functions.cells import cell_encode_udf
+from ..operators.spatial_join import DEFAULT_LEVEL, pip_udf, polygon_cover_udf
+
+# streamed point rows: id + event time + position
+POINT_STREAM_SCHEMA = StructType([
+    StructField("point_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("lat", DoubleType()),
+    StructField("lon", DoubleType()),
+])
+
+
+def point_stream_source(spark: SparkSession, src_dir: str,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1 over point rows: file stream of (point_id, ts, lat, lon)."""
+    r = spark.readStream.schema(POINT_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(src_dir)
+
+
+def region_cover(regions: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
+    """Static-side prep, computed once per query (NOT per micro-batch):
+    explode each polygon into its covering cells, carrying ring/holes/bbox
+    for the residual tests. Same cover as the batch operator."""
+    regions = regions.coalesce(8)
+    if "holes" not in regions.columns:
+        regions = regions.withColumn(
+            "holes", F.array().cast("array<array<array<double>>>"))
+    return (regions
+            .withColumn("cell", F.explode(polygon_cover_udf(
+                F.col("ring"), level, holes=F.col("holes"))))
+            .select("cell", "poly_id", "ring", "holes",
+                    "lat_min", "lat_max", "lon_min", "lon_max"))
+
+
+def spatial_join_stream(stream: DataFrame, regions: DataFrame, *,
+                        point_id: str = "point_id",
+                        level: int = DEFAULT_LEVEL,
+                        watermark: str | None = None) -> DataFrame:
+    """Exact point-in-polygon join of a point stream against a static
+    polygon table → streaming (point_id, ts, poly_id) pairs.
+
+    ``regions`` may be the raw polygon frame (cover computed here) or an
+    already-exploded region_cover() result (reused across queries).
+    Unlike the batch path there is no poly_id clustering sort (Spark
+    disallows sorts on unaggregated streams); pip_udf groups by polygon
+    WITHIN each Arrow batch, so correctness is unchanged and the per-ring
+    setup cost is paid per (batch, polygon) instead of per run.
+
+    ``watermark``: when downstream does windowed aggregation, set the
+    watermark HERE, before the join — the watermark node tracks max
+    event time where it sits in the plan, so points that miss every
+    polygon still advance it; applied after the join, a miss-heavy
+    stream (the common case) would stall window finalization."""
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    cov = regions if "cell" in regions.columns else region_cover(regions, level)
+    pts = stream.withColumn(
+        "cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
+    cand = (pts.join(F.broadcast(cov), "cell")
+            .filter((F.col("lat") >= F.col("lat_min"))
+                    & (F.col("lat") <= F.col("lat_max"))
+                    & (F.col("lon") >= F.col("lon_min"))
+                    & (F.col("lon") <= F.col("lon_max"))))
+    hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
+                              F.col("ring"), holes=F.col("holes")))
+    return hit.select(point_id, "ts", "poly_id")
+
+
+def windowed_poly_counts(pairs: DataFrame, window: str = "10 minutes",
+                         watermark: str | None = None) -> DataFrame:
+    """S3 over the joined stream: per-polygon tumbling-window hit counts
+    with late-data handling; state is O(windows × polygons). Pass the
+    watermark to spatial_join_stream (pre-join) rather than here —
+    ``watermark`` exists for pairs streams built without one."""
+    if watermark is not None:
+        pairs = pairs.withWatermark("ts", watermark)
+    return (pairs
+            .groupBy(F.window("ts", window).alias("win"), "poly_id")
+            .agg(F.count("*").alias("n_points"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "poly_id", "n_points"))

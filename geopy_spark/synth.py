@@ -209,15 +209,22 @@ def image_latlon(image_id: str) -> tuple[float, float]:
     return -60.0 + u1 * 120.0, -180.0 + u2 * 360.0
 
 
-def make_images_pdf(n: int, start: int = 0, with_pixels: bool = True) -> pd.DataFrame:
+def make_images_pdf(n: int, start: int = 0, with_pixels: bool = True,
+                    fmt: str | None = None) -> pd.DataFrame:
     """Deterministic images batch [start, start+n). Schema per
-    BASELINE.json:15 + derived lat/lon (FIXTURES.md §B)."""
+    BASELINE.json:15 + derived lat/lon (FIXTURES.md §B).
+
+    ``fmt``: force every payload to one codec instead of the FORMATS
+    cycle (ingest benchmarks over a homogeneous jpeg/gif corpus). For
+    'gif' the pixels are quantized to a 3-3-2 bit palette (exactly 256
+    possible colors) so the palette-indexed encoder accepts them — the
+    stored phash is of the decoded payload either way."""
     recs = []
     for i in range(start, start + n):
         image_id = f"img{i:08d}"
         w = _W_CYCLE[i % len(_W_CYCLE)]
         h = _H_CYCLE[i % len(_H_CYCLE)]
-        fmt = _FMT_CYCLE[i % len(_FMT_CYCLE)]
+        f = fmt or _FMT_CYCLE[i % len(_FMT_CYCLE)]
         lat, lon = image_latlon(image_id)
         rng = np.random.default_rng(np.random.PCG64(SEED ^ (i * 2654435761 % 2**31)))
         if with_pixels:
@@ -226,15 +233,17 @@ def make_images_pdf(n: int, start: int = 0, with_pixels: bool = True) -> pd.Data
             grad = (np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
                     * np.ones((h, 1, 3)))
             img = ((img.astype(np.float64) * 0.25 + grad * 0.75)).astype(np.uint8)
-            buf = codecs.encode(img, fmt)
+            if f == "gif":  # 3-3-2 bits → ≤256 distinct colors, lossless in GIF
+                img = (img & np.array([0xE0, 0xE0, 0xC0], dtype=np.uint8))
+            buf = codecs.encode(img, f)
             # phash of the DECODED payload (FIXTURES.md): for lossy fmts the
             # stored hash must match what a reader recomputes from `bytes`
-            ph = codecs.phash64(codecs.decode(buf, fmt, w, h))
+            ph = codecs.phash64(codecs.decode(buf, f, w, h))
         else:
             buf, ph = b"", 0
         wi = rng.integers(0, len(_WORDS), 6)
         caption = f"caption of {image_id}: " + " ".join(_WORDS[k] for k in wi)
-        recs.append((image_id, buf, w, h, fmt, caption, ph, lat, lon))
+        recs.append((image_id, buf, w, h, f, caption, ph, lat, lon))
     return pd.DataFrame(recs, columns=["image_id", "bytes", "w", "h", "fmt",
                                        "caption", "phash", "lat", "lon"])
 
@@ -259,18 +268,20 @@ def write_images_parquet(path: str, n: int, chunk: int = 20_000,
 
 
 def write_images_parquet_spark(spark, path: str, n: int, *,
-                               partitions: int = 64, with_pixels: bool = True) -> None:
+                               partitions: int = 64, with_pixels: bool = True,
+                               fmt: str | None = None) -> None:
     """Distributed deterministic image-table generation: the id range fans
     out over ``partitions`` tasks, each producing the same rows
     make_images_pdf would (chunk-deterministic), written as multi-file
-    parquet so downstream scans parallelize."""
+    parquet so downstream scans parallelize. ``fmt`` forces one codec
+    for every payload (see make_images_pdf)."""
     import pandas as _pd
 
     def _gen(it):
         for pdf in it:
             for s, e in zip(pdf["start"], pdf["end"]):
                 yield make_images_pdf(int(e - s), start=int(s),
-                                      with_pixels=with_pixels)
+                                      with_pixels=with_pixels, fmt=fmt)
 
     bounds = [(i * n // partitions, (i + 1) * n // partitions)
               for i in range(partitions)]

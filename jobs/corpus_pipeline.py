@@ -294,7 +294,12 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
                 .sortWithinPartitions("lang", "seq_id"), "sequences")],
             run_id))
 
-    n_surv = table.read_partition(spark, "survivors").count()
+    # committed row count from manifest metadata (zero Spark jobs);
+    # adapters without the method fall back to a count action
+    if hasattr(table, "partition_rows"):
+        n_surv = table.partition_rows("survivors")
+    else:
+        n_surv = table.read_partition(spark, "survivors").count()
     wall = time.monotonic() - t0
     result = {
         "run_id": run_id,

@@ -44,6 +44,15 @@ def build_args(argv=None):
     ap.add_argument("--level", type=int, default=7, help="qcell join level")
     ap.add_argument("--zmax", type=int, default=8)
     ap.add_argument("--n-polys", type=int, default=48)
+    ap.add_argument("--broadcast-regions", choices=["auto", "always", "never"],
+                    default="auto",
+                    help="spatial-join strategy: 'auto' runs the cover-size "
+                         "guard (one extra driver job estimating the exploded "
+                         "cover; OOM-safe for arbitrary region tables), "
+                         "'always' skips it and broadcasts directly — correct "
+                         "choice when --n-polys is known-small, e.g. the "
+                         "scaling-bench fixture, where the guard job is pure "
+                         "constant tail on the N→4N ratio")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -139,7 +148,10 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
             synth.polygons_pdf(synth.oracle_polygons(args.n_polys, seed=7)),
             schema=_REGIONS_SCHEMA)
         pts = images.select(F.col("image_id").alias("point_id"), "lat", "lon")
-        pairs = (spatial_join(pts, regions, point_id="point_id", level=args.level)
+        bcast = {"auto": None, "always": True, "never": False}[
+            getattr(args, "broadcast_regions", "auto")]
+        pairs = (spatial_join(pts, regions, point_id="point_id",
+                              level=args.level, broadcast_regions=bcast)
                  .withColumnRenamed("point_id", "image_id")
                  .sortWithinPartitions("image_id", "poly_id"))
         table.commit([table.write_partition(pairs, "join_pairs")], run_id)

@@ -63,3 +63,17 @@ def test_synth_images_deterministic():
     for _, row in a.iterrows():
         img = C.decode(row["bytes"], row["fmt"], row["w"], row["h"])
         assert C.phash64(img) == row["phash"]
+
+
+def test_synth_fmt_override_jpeg_gif():
+    """make_images_pdf(fmt=...) forces a homogeneous corpus (ingest-bench
+    input): every payload decodes under the forced codec and the stored
+    phash matches a recompute from bytes; gif pixels are 3-3-2 quantized
+    so the palette encoder holds losslessly."""
+    for fmt in ("jpeg", "gif"):
+        pdf = synth.make_images_pdf(6, fmt=fmt)
+        assert set(pdf["fmt"]) == {fmt}
+        for _, row in pdf.iterrows():
+            img = C.decode(row["bytes"], fmt, row["w"], row["h"])
+            assert img.shape == (row["h"], row["w"], 3)
+            assert C.phash64(img) == row["phash"]

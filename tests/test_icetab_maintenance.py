@@ -32,6 +32,19 @@ def table(spark, tmp_path):
     return t
 
 
+def test_partition_rows_metadata_only(spark, table):
+    """partition_rows = exact committed count from manifest metadata
+    (zero Spark jobs) — must agree with a real count at every version
+    and respect compaction shadowing."""
+    assert table.partition_rows("z=0") == 60
+    assert table.partition_rows("z=1") == 20
+    assert table.partition_rows("z=0", version=1) == 30
+    assert table.partition_rows("missing") == 0
+    table.compact(spark, "z=0", "rc-count")
+    assert table.partition_rows("z=0") == 60  # replace, not append
+    assert table.read_partition(spark, "z=0").count() == 60
+
+
 def test_time_travel(spark, table):
     assert table.read(spark, version=1).count() == 30
     assert table.read(spark, version=2).count() == 60

@@ -63,9 +63,12 @@ def run_pipeline(inp: str, out: str, cores: int, shuffle: int) -> dict:
     # the ~55s of fixed per-job overhead dominate the 4N level at this toy
     # scale (see BENCH/BASELINE.md analysis), which measures the overhead,
     # not the engine.
+    # --broadcast-regions always: the 48-poly fixture is known-small, so
+    # the auto mode's cover-size estimation job is a constant driver tail
+    # paid identically at N and 4N — i.e. pure Amdahl tax on the ratio
     cmd = [sys.executable, os.path.join(REPO, "jobs", "tile_pipeline.py"),
            "--input", inp, "--output", out, "--zmax", "8", "--level", "7",
-           "--decode", "--verify",
+           "--decode", "--verify", "--broadcast-regions", "always",
            "--cores", str(cores), "--shuffle-partitions", str(shuffle)]
     c0 = _cpu_ticks()
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=1800)
