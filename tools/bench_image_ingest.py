@@ -50,7 +50,9 @@ t0 = time.monotonic()
 if {stage!r} == "phash":
     out = df.select(I.phash_udf(F.col("bytes"), F.col("fmt"), F.col("w"),
                                 F.col("h")).alias("ph"))
-    out.agg(F.sum("ph")).collect()
+    # forcing aggregate: pmod keeps the ANSI-mode sum far from long
+    # overflow (raw phashes span the full int64 range)
+    out.agg(F.sum(F.pmod(F.col("ph"), F.lit(1_000_000_007)))).collect()
 else:
     I.transcode(df, "rle").write.format("noop").mode("overwrite").save()
 print("WALL=%.3f" % (time.monotonic() - t0), flush=True)
