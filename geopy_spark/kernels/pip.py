@@ -283,3 +283,90 @@ def _cell_touches_ring(clat, clon, half, ring) -> np.ndarray:
     d = np.abs(dx * (cy - y1) - dy * (cx - x1))
     r = np.abs(dx) * hy + np.abs(dy) * hx
     return (bb & (d <= r)).any(axis=1)
+
+
+# ------------------------------------------------------- polygon ⋈ polygon
+
+def _all_edges(ring: np.ndarray, holes=None) -> tuple[np.ndarray, ...]:
+    """Full boundary edge set of (outer, holes[]): hole rims are part of
+    the polygon's boundary, so intersection tests must see them too —
+    a ring lying inside another polygon's hole but crossing its rim
+    intersects the polygon even though the outer rings never touch."""
+    ys1, xs1, ys2, xs2 = [], [], [], []
+    for r in [ring] + list(holes if holes is not None else ()):
+        y1, x1, y2, x2 = _as_edges(np.asarray(r, dtype=np.float64))
+        ys1.append(y1); xs1.append(x1); ys2.append(y2); xs2.append(x2)
+    return (np.concatenate(ys1), np.concatenate(xs1),
+            np.concatenate(ys2), np.concatenate(xs2))
+
+
+def _segments_cross(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2) -> bool:
+    """Any segment of edge set A intersecting any of B (touching counts —
+    boundary-inclusive, same convention as points_in_polygon). All-pairs
+    vectorized: [m,1] against [1,n] orientation signs with an EPS
+    tolerance scaled by edge length so 'touching' matches the PIP
+    kernel's distance-EPS semantics."""
+    ay1, ax1, ay2, ax2 = (v[:, None] for v in (ay1, ax1, ay2, ax2))
+    by1, bx1, by2, bx2 = (v[None, :] for v in (by1, bx1, by2, bx2))
+
+    # orientation of point (py,px) relative to directed segment (1->2)
+    def _cross(sy1, sx1, sy2, sx2, py, px):
+        return (sx2 - sx1) * (py - sy1) - (sy2 - sy1) * (px - sx1)
+
+    len_b = np.hypot(by2 - by1, bx2 - bx1)
+    len_a = np.hypot(ay2 - ay1, ax2 - ax1)
+    tol_b = EPS * np.maximum(len_b, EPS)
+    tol_a = EPS * np.maximum(len_a, EPS)
+    d1 = _cross(by1, bx1, by2, bx2, ay1, ax1)
+    d2 = _cross(by1, bx1, by2, bx2, ay2, ax2)
+    d3 = _cross(ay1, ax1, ay2, ax2, by1, bx1)
+    d4 = _cross(ay1, ax1, ay2, ax2, by2, bx2)
+    proper = (((d1 > tol_b) & (d2 < -tol_b)) | ((d1 < -tol_b) & (d2 > tol_b))) \
+        & (((d3 > tol_a) & (d4 < -tol_a)) | ((d3 < -tol_a) & (d4 > tol_a)))
+    if proper.any():
+        return True
+
+    # touch / collinear-overlap: an endpoint within tolerance of the other
+    # segment's line AND inside its EPS-expanded bbox
+    def _on(sy1, sx1, sy2, sx2, d, py, px, tol):
+        inbox = ((py >= np.minimum(sy1, sy2) - EPS)
+                 & (py <= np.maximum(sy1, sy2) + EPS)
+                 & (px >= np.minimum(sx1, sx2) - EPS)
+                 & (px <= np.maximum(sx1, sx2) + EPS))
+        return (np.abs(d) <= tol) & inbox
+
+    touch = (_on(by1, bx1, by2, bx2, d1, ay1, ax1, tol_b)
+             | _on(by1, bx1, by2, bx2, d2, ay2, ax2, tol_b)
+             | _on(ay1, ax1, ay2, ax2, d3, by1, bx1, tol_a)
+             | _on(ay1, ax1, ay2, ax2, d4, by2, bx2, tol_a))
+    return bool(touch.any())
+
+
+def polygons_intersect(ring_a: np.ndarray, ring_b: np.ndarray,
+                       holes_a=None, holes_b=None) -> bool:
+    """Boundary-inclusive region intersection of two polygons-with-holes
+    (G16). Decision procedure for valid simple rings:
+
+    1. bbox reject (cheap).
+    2. Any boundary-edge pair (outer + hole rims, both sides) crossing
+       or touching → intersect (boundary belongs to the polygon).
+    3. No boundary contact → regions are nested or disjoint: A's outer
+       vertices inside B-with-holes → A's whole region lies in B's face
+       → intersect; symmetrically for B in A. A polygon sitting wholly
+       inside the other's HOLE fails both vertex tests → disjoint,
+       which is the correct outer-minus-hole answer.
+    """
+    a_lat0, a_lat1, a_lon0, a_lon1 = ring_bbox(ring_a)
+    b_lat0, b_lat1, b_lon0, b_lon1 = ring_bbox(ring_b)
+    if (a_lat0 > b_lat1 + EPS or b_lat0 > a_lat1 + EPS
+            or a_lon0 > b_lon1 + EPS or b_lon0 > a_lon1 + EPS):
+        return False
+    ea = _all_edges(ring_a, holes_a)
+    eb = _all_edges(ring_b, holes_b)
+    if _segments_cross(*ea, *eb):
+        return True
+    ra = np.asarray(ring_a, dtype=np.float64)
+    rb = np.asarray(ring_b, dtype=np.float64)
+    if points_in_polygon(ra[:, 0], ra[:, 1], rb, holes=holes_b).any():
+        return True
+    return bool(points_in_polygon(rb[:, 0], rb[:, 1], ra, holes=holes_a).any())

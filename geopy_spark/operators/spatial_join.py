@@ -94,16 +94,23 @@ def _np_holes(flat, sizes) -> list:
 
 
 def polygon_cover_udf(ring: Column, level: int,
-                      holes: Column | None = None) -> Column:
+                      holes: Column | None = None,
+                      compact: bool = False) -> Column:
     """ring array<array<double>> (+ optional holes
-    array<array<array<double>>>) → covering cells array<long> (G4)."""
+    array<array<array<double>>>) → covering cells array<long> (G4).
+    ``compact=True`` normalizes each cover to its minimal disjoint
+    mixed-level equivalent (kernels.cells.compact_cells) — interior
+    quads collapse to ancestors, the rim stays fine."""
+    from ..kernels.cells import compact_cells
+
     @F.pandas_udf(ArrayType(LongType()))
     def _cover(r: pd.Series, hf: pd.Series, hs: pd.Series) -> pd.Series:
-        return pd.Series([
-            P.polygon_cover(_np_ring(ring_), level,
-                            holes=_np_holes(flat_, sizes_)).tolist()
-            for ring_, flat_, sizes_ in zip(r, hf, hs)
-        ])
+        out = []
+        for ring_, flat_, sizes_ in zip(r, hf, hs):
+            cov = P.polygon_cover(_np_ring(ring_), level,
+                                  holes=_np_holes(flat_, sizes_))
+            out.append((compact_cells(cov) if compact else cov).tolist())
+        return pd.Series(out)
     return _cover(ring, *_holes_transport(holes))
 
 
@@ -131,7 +138,8 @@ def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column,
 def spatial_join(points: DataFrame, regions: DataFrame, *,
                  point_id: str = "point_id", level: int = DEFAULT_LEVEL,
                  broadcast_regions: bool | None = None,
-                 salt_factor: int = 8, hot_min_count: int | None = None) -> DataFrame:
+                 salt_factor: int = 8, hot_min_count: int | None = None,
+                 compact_cover: bool = False) -> DataFrame:
     """Exact point-in-polygon join.
 
     points:  (point_id, lat, lon, ...) — the big side.
@@ -155,6 +163,18 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     vector side with defaults gets the salted SMJ path instead of an OOM.
     The guard reads ONLY the four bbox columns (the cover UDF does not
     run) and costs one count-style job.
+
+    compact_cover=True (broadcast path only): each polygon's cover is
+    normalized to its minimal DISJOINT mixed-level cell set (S2
+    CellUnion / H3 compact analogue — interior quads collapse to
+    ancestors, rims stay fine, typically ~4x fewer rows to broadcast),
+    and each point probes with its ancestor-cell chain (level+1 cells,
+    pure Column bit math, narrow). Disjointness keeps the ≤1-candidate-
+    per-(point, polygon) property, so no dedup shuffle appears. The
+    trade: (level+1)x hash-probe work on the point side for a ~4x
+    smaller build side — worth it when the cover is near the broadcast
+    ceiling. Ignored on the salted-SMJ path (mixed-level keys would
+    break hot-cell detection).
     """
     # a handful of polygons spread over createDataFrame's default N
     # partitions pays N python-worker warmups for rows that fit in one
@@ -181,6 +201,24 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                              <= BROADCAST_MAX_COVER_ROWS)
 
     if broadcast_regions:
+        if compact_cover:
+            from ..functions.cells import cell_parent_expr
+            cov = (regions
+                   .withColumn("cell", F.explode(polygon_cover_udf(
+                       F.col("ring"), level, holes=F.col("holes"),
+                       compact=True)))
+                   .select("cell", "poly_id", "ring", "holes",
+                           "lat_min", "lat_max", "lon_min", "lon_max"))
+            # probe with the ancestor chain: disjoint mixed-level cover
+            # ⇒ at most one of these level+1 cells matches per polygon
+            pts = (points
+                   .withColumn("cell_leaf", cell_encode_udf(
+                       F.col("lat"), F.col("lon"), level))
+                   .withColumn("cell", F.explode(F.array(
+                       F.col("cell_leaf"),
+                       *[cell_parent_expr("cell_leaf", lv)
+                         for lv in range(level)])))
+                   .drop("cell_leaf"))
         cand = pts.join(F.broadcast(cov), "cell")
     else:
         from .skew import hot_keys, salted_join
@@ -212,3 +250,100 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
                               F.col("ring"), holes=F.col("holes")))
     return hit.select(point_id, "poly_id")
+
+
+# ------------------------------------------------------- polygon ⋈ polygon
+
+def polygons_intersect_udf(ring_a: Column, holes_a: Column | None,
+                           ring_b: Column, holes_b: Column | None) -> Column:
+    """Exact boundary-inclusive polygon-pair intersection (G16 residual).
+    Per-row python over the numpy kernel — acceptable because it runs
+    only on cover-join candidates that already passed the bbox prune
+    (pairs, not the cross product); the inner work is vectorized
+    all-pairs edge orientation math."""
+    @F.pandas_udf(BooleanType())
+    def _pi(ra: pd.Series, haf: pd.Series, has: pd.Series,
+            rb: pd.Series, hbf: pd.Series, hbs: pd.Series) -> pd.Series:
+        out = np.empty(len(ra), dtype=bool)
+        for i in range(len(ra)):
+            out[i] = P.polygons_intersect(
+                _np_ring(ra.iloc[i]), _np_ring(rb.iloc[i]),
+                holes_a=_np_holes(haf.iloc[i], has.iloc[i]),
+                holes_b=_np_holes(hbf.iloc[i], hbs.iloc[i]))
+        return pd.Series(out)
+    return _pi(ring_a, *_holes_transport(holes_a),
+               ring_b, *_holes_transport(holes_b))
+
+
+def _prep_polys(df: DataFrame) -> DataFrame:
+    df = df.coalesce(8)
+    if "holes" not in df.columns:
+        df = df.withColumn("holes",
+                           F.array().cast("array<array<array<double>>>"))
+    return df
+
+
+def polygon_join(left: DataFrame, right: DataFrame, *,
+                 level: int = DEFAULT_LEVEL,
+                 broadcast_right: bool | None = None) -> DataFrame:
+    """Polygon ⋈ polygon intersection join (G16): (l_id, r_id) pairs of
+    polygons whose regions (outer minus holes, boundary-inclusive)
+    intersect. Both inputs use the regions schema: (poly_id, ring,
+    lat_min/lat_max/lon_min/lon_max [, holes]).
+
+    Plan shape — same discipline as the point join, adapted to the fact
+    that a polygon PAIR can share MANY cells (a point-polygon pair meets
+    in exactly one):
+
+        both sides --cover UDF--> explode(cells)   [ids only]
+        equi-join on cell (right cover broadcast when it fits, same
+                           size guard as spatial_join)
+        distinct (l_id, r_id)            ← the one extra shuffle vs G6,
+                                           over bare id pairs
+        re-join geometry BY ID           ← rings never ride the cell
+                                           shuffle (payload discipline)
+        bbox prune (Column algebra) → exact kernel residual
+
+    Candidate completeness: polygon_cover keeps every cell intersecting
+    the polygon, so two intersecting regions share the cell of any
+    common point — no false negatives. Self-join: pass the same frame
+    twice and filter l_id < r_id for unordered pairs (the join emits
+    both orders and the diagonal).
+    """
+    L, R = _prep_polys(left), _prep_polys(right)
+    if broadcast_right is None:
+        broadcast_right = (_cover_estimate(right, level)
+                           <= BROADCAST_MAX_COVER_ROWS)
+
+    def _cov(df, out_id):
+        return (df.withColumn("cell", F.explode(polygon_cover_udf(
+                    F.col("ring"), level, holes=F.col("holes"))))
+                .select(F.col("poly_id").alias(out_id), "cell"))
+
+    cov_l = _cov(L, "l_id")
+    cov_r = _cov(R, "r_id")
+    j = cov_l.join(F.broadcast(cov_r) if broadcast_right else cov_r, "cell")
+    pairs = j.select("l_id", "r_id").distinct()
+
+    def _geo(df, out_id, sfx):
+        return df.select(
+            F.col("poly_id").alias(out_id),
+            F.col("ring").alias(f"ring{sfx}"),
+            F.col("holes").alias(f"holes{sfx}"),
+            F.col("lat_min").alias(f"lat_min{sfx}"),
+            F.col("lat_max").alias(f"lat_max{sfx}"),
+            F.col("lon_min").alias(f"lon_min{sfx}"),
+            F.col("lon_max").alias(f"lon_max{sfx}"))
+
+    rgeo = _geo(R, "r_id", "_r")
+    cand = (pairs
+            .join(_geo(L, "l_id", "_l"), "l_id")
+            .join(F.broadcast(rgeo) if broadcast_right else rgeo, "r_id"))
+    cand = cand.filter(
+        (F.col("lat_min_l") <= F.col("lat_max_r"))
+        & (F.col("lat_min_r") <= F.col("lat_max_l"))
+        & (F.col("lon_min_l") <= F.col("lon_max_r"))
+        & (F.col("lon_min_r") <= F.col("lon_max_l")))
+    hit = cand.filter(polygons_intersect_udf(
+        F.col("ring_l"), F.col("holes_l"), F.col("ring_r"), F.col("holes_r")))
+    return hit.select("l_id", "r_id")

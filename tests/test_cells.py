@@ -83,3 +83,35 @@ def test_z_order_locality():
     # sorted children → parents are non-decreasing in blocks
     changes = (np.diff(p.astype(np.int64)) != 0).sum()
     assert changes == len(np.unique(p)) - 1
+
+
+def test_compact_uncompact_roundtrip_and_disjointness():
+    """compact_cells: minimal disjoint equivalent (complete quads
+    collapse, ancestors swallow descendants); uncompact inverts it."""
+    import numpy as np
+    from geopy_spark.kernels.cells import (cell_children, cell_encode,
+                                           cell_parent, compact_cells,
+                                           uncompact_cells)
+    rng = np.random.default_rng(11)
+    p6 = cell_encode(rng.uniform(-50, 50, 6), rng.uniform(-170, 170, 6), 6)
+    # all level-8 descendants of the level-6 cells + loose level-8 cells
+    kids8 = np.concatenate([uncompact_cells(p6, 8)])
+    loose = cell_encode(rng.uniform(-50, 50, 4), rng.uniform(-170, 170, 4), 8)
+    inp = np.concatenate([kids8, loose])
+    comp = compact_cells(inp)
+    # complete quads collapsed all the way back to the level-6 ancestors
+    assert set(np.unique(p6).tolist()) <= set(comp.tolist())
+    assert len(comp) < len(np.unique(inp))
+    # exact region equality at the finest level
+    assert set(uncompact_cells(comp, 8).tolist()) == set(np.unique(inp).tolist())
+    # pairwise disjoint: no cell's ancestor is present at any level
+    cs = set(comp.tolist())
+    for c in comp:
+        lvl = int(c) & 31
+        for pv in range(lvl):
+            assert int(cell_parent(np.array([c]), pv)[0]) not in cs
+    # ancestor swallows descendants in mixed input
+    par = p6[:1]
+    kid = cell_children(par).ravel()[:3]
+    assert set(compact_cells(np.concatenate([par, kid])).tolist()) \
+        == set(par.tolist())

@@ -1,0 +1,124 @@
+"""Polygon ⋈ polygon intersection join (G16): kernel decision table,
+operator vs a brute-force all-pairs oracle over the holed fixtures
+(candidate completeness through the cell-cover equi-join), and the
+self-join dedup shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geopy_spark import synth
+from geopy_spark.entry_queries import _REGIONS_SCHEMA
+from geopy_spark.kernels import pip as P
+from geopy_spark.operators.spatial_join import polygon_join
+
+
+def _sq(y, x, s):
+    return np.array([[y, x], [y, x + s], [y + s, x + s], [y + s, x]],
+                    dtype=float)
+
+
+def test_kernel_decision_table():
+    A = _sq(0, 0, 10)
+    hole = [_sq(2, 2, 6)]
+    cases = [
+        (A, _sq(5, 5, 10), None, None, True),    # overlap
+        (A, _sq(20, 20, 5), None, None, False),  # disjoint
+        (A, _sq(4, 4, 2), None, None, True),     # nested
+        (A, _sq(0, 10, 5), None, None, True),    # edge touch
+        (A, _sq(10, 10, 3), None, None, True),   # corner touch
+        (A, _sq(3, 3, 2), hole, None, False),    # B inside A's hole
+        (A, _sq(3, 3, 7), hole, None, True),     # B straddles the rim
+        (A, _sq(2, 2, 6), hole, None, True),     # B fills the hole (rim)
+        (_sq(3, 3, 2), A, None, hole, False),    # symmetric hole case
+        (A, A, None, None, True),                # identical
+    ]
+    for ra, rb, ha, hb, want in cases:
+        got = P.polygons_intersect(ra, rb, holes_a=ha, holes_b=hb)
+        assert got == want, (ra[0], rb[0], ha is not None, want)
+    # concave: a square inside a C-shape's notch is outside the region
+    C = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [8, 0], [8, 8],
+                  [2, 8], [2, 0]], dtype=float)
+    assert not P.polygons_intersect(C, _sq(4, 1, 2))
+    assert P.polygons_intersect(C, _sq(4, 7, 2))
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    a = synth.polygons_pdf(synth.oracle_polygons_holed(20, seed=7))
+    b = synth.polygons_pdf(synth.oracle_polygons_holed(16, seed=99))
+    return a, b
+
+
+def _brute(a_pdf, b_pdf):
+    out = set()
+    for ra in a_pdf.itertuples(index=False):
+        ring_a = np.array(ra.ring, dtype=float)
+        holes_a = [np.array(h, dtype=float) for h in ra.holes]
+        for rb in b_pdf.itertuples(index=False):
+            if P.polygons_intersect(
+                    ring_a, np.array(rb.ring, dtype=float),
+                    holes_a=holes_a,
+                    holes_b=[np.array(h, dtype=float) for h in rb.holes]):
+                out.add((ra.poly_id, rb.poly_id))
+    return out
+
+
+def test_operator_matches_brute_force_all_pairs(spark, fixtures):
+    """The distributed plan (cover equi-join → distinct ids → geometry
+    re-join → bbox prune → kernel residual) must equal exhaustive
+    kernel evaluation over all 20×16 pairs — this is where candidate
+    generation bugs (cover misses, dedup mistakes) would surface."""
+    a_pdf, b_pdf = fixtures
+    left = spark.createDataFrame(a_pdf, schema=_REGIONS_SCHEMA)
+    right = spark.createDataFrame(b_pdf, schema=_REGIONS_SCHEMA)
+    got = {(r.l_id, r.r_id)
+           for r in polygon_join(left, right, level=6).collect()}
+    assert got == _brute(a_pdf, b_pdf) and len(got) > 0
+    # both broadcast paths agree
+    got_smj = {(r.l_id, r.r_id)
+               for r in polygon_join(left, right, level=6,
+                                     broadcast_right=False).collect()}
+    assert got_smj == got
+
+
+def test_self_join_dedup_shape(spark, fixtures):
+    """Self-join emits the diagonal + both orders; l_id < r_id gives the
+    unordered intersecting pairs, matching brute force."""
+    a_pdf, _ = fixtures
+    df = spark.createDataFrame(a_pdf, schema=_REGIONS_SCHEMA)
+    pairs = (polygon_join(df, df, level=6)
+             .filter(F.col("l_id") < F.col("r_id")))
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
+    want = {(a, b) for a, b in _brute(a_pdf, a_pdf) if a < b}
+    assert got == want
+    diag = polygon_join(df, df, level=6).filter(
+        F.col("l_id") == F.col("r_id")).count()
+    assert diag == len(a_pdf)  # every polygon intersects itself
+
+
+def test_spatial_join_compact_cover_identical_pairs(spark, fixtures):
+    """G6 with compact_cover=True (disjoint mixed-level broadcast cover +
+    ancestor-chain probes) must return the exact pair set of the plain
+    broadcast path — and the compacted cover must actually be smaller."""
+    from geopy_spark.operators.spatial_join import (polygon_cover_udf,
+                                                    spatial_join)
+    a_pdf, _ = fixtures
+    regions = spark.createDataFrame(a_pdf, schema=_REGIONS_SCHEMA)
+    pts = spark.range(4000).select(
+        F.col("id").alias("point_id"),
+        (F.pmod(F.col("id") * 37, F.lit(12000)) / 100 - 60).alias("lat"),
+        (F.pmod(F.col("id") * 91, F.lit(36000)) / 100 - 180).alias("lon"))
+    base = {(r.point_id, r.poly_id)
+            for r in spatial_join(pts, regions, level=7,
+                                  broadcast_regions=True).collect()}
+    comp = {(r.point_id, r.poly_id)
+            for r in spatial_join(pts, regions, level=7,
+                                  broadcast_regions=True,
+                                  compact_cover=True).collect()}
+    assert comp == base and len(base) > 0
+    plain_n = regions.select(F.explode(polygon_cover_udf(
+        F.col("ring"), 7, holes=F.col("holes")))).count()
+    comp_n = regions.select(F.explode(polygon_cover_udf(
+        F.col("ring"), 7, holes=F.col("holes"), compact=True))).count()
+    assert comp_n < plain_n
