@@ -139,7 +139,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                  point_id: str = "point_id", level: int = DEFAULT_LEVEL,
                  broadcast_regions: bool | None = None,
                  salt_factor: int = 8, hot_min_count: int | None = None,
-                 compact_cover: bool = False) -> DataFrame:
+                 compact_cover: bool = False,
+                 keep_point_cols: list[str] | None = None) -> DataFrame:
     """Exact point-in-polygon join.
 
     points:  (point_id, lat, lon, ...) — the big side.
@@ -249,7 +250,10 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
 
     hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
                               F.col("ring"), holes=F.col("holes")))
-    return hit.select(point_id, "poly_id")
+    # keep_point_cols ride for free: the candidate join already carries
+    # every point column, so consumers (e.g. zonal_stats) avoid a second
+    # points-side shuffle to re-attach values by id
+    return hit.select(point_id, "poly_id", *(keep_point_cols or []))
 
 
 # ------------------------------------------------------- polygon ⋈ polygon
