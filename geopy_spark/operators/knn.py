@@ -246,3 +246,50 @@ def knn_join_indexed(spark, store_path: str, queries: DataFrame, k: int, *,
     # sorted cell column skip non-matching groups.
     return knn_join(queries, pts.drop("pcell"), k, level=level,
                     point_id=point_id, r0=r0, points_have_cell=True)
+
+
+def within_distance_join(queries: DataFrame, points: DataFrame,
+                         radius_m: float, *, level: int = DEFAULT_LEVEL,
+                         point_id: str = "id",
+                         broadcast_max_cells: int = BROADCAST_MAX_CELLS
+                         ) -> DataFrame:
+    """Distance-within join (range join on the sphere): every (query,
+    point) pair with haversine distance ≤ ``radius_m`` — the fixed-radius
+    sibling of the kNN join, e.g. "all images within 50 km of each city".
+    Returns (query_id, <point_id>, dist_m).
+
+    One-shot version of the kNN disk machinery: the radius is known up
+    front, so there is no doubling loop — each query explodes ONE
+    rectangular cell disk sized to contain its haversine ball
+    (±ri rows from the meridian arc; ±rj cols from longitude shrinkage
+    at the ball's extreme latitude, +1 cell margin for the query's
+    offset within its own cell), the disk side broadcasts under the
+    same cell-count guard as kNN, and the exact haversine filter
+    removes rectangle corners. A point lives in exactly one cell and
+    disk cells are unique per query, so the join emits no duplicate
+    pairs and needs no dedup shuffle."""
+    n = 2 ** level
+    cell_deg = K.cell_size_deg(level)
+    radius_deg = radius_m / meters_per_deg_lat()
+    ri = int(radius_deg / cell_deg) + 1
+
+    qry = _with_cell(queries, level)
+    lat_edge = F.least(F.lit(89.9), F.abs(F.col("lat")) + F.lit(radius_deg))
+    rj = (F.lit(radius_deg)
+          / (F.lit(cell_deg) * F.cos(F.radians(lat_edge)))).cast("int") + 1
+    qry = (qry.withColumn("_ri", F.lit(ri))
+           .withColumn("_rj", F.least(rj, F.lit(n // 2))))
+
+    # broadcast decision: exact exploded-row estimate from the per-query
+    # rectangle sizes — one tiny agg over the (small) query side, same
+    # rationale as spatial_join's size guard
+    est = qry.agg(F.sum((2 * F.col("_ri") + 1)
+                        * (2 * F.col("_rj") + 1))).first()[0] or 0
+
+    pts = _with_cell(points, level).select(
+        F.col(point_id).alias("nid"), "lat", "lon", "cell")
+    cand = _candidates(qry, pts, F.col("_ri"), F.col("_rj"),
+                       broadcast_q=est <= broadcast_max_cells)
+    return (cand.filter(F.col("dist_m") <= F.lit(float(radius_m)))
+            .select("query_id", F.col("nid").alias(point_id),
+                    F.round("dist_m", 3).alias("dist_m")))

@@ -41,9 +41,12 @@ POINT_STREAM_SCHEMA = StructType([
 
 
 def point_stream_source(spark: SparkSession, src_dir: str,
-                        max_files_per_trigger: int | None = None) -> DataFrame:
-    """S1 over point rows: file stream of (point_id, ts, lat, lon)."""
-    r = spark.readStream.schema(POINT_STREAM_SCHEMA)
+                        max_files_per_trigger: int | None = None,
+                        schema: StructType | None = None) -> DataFrame:
+    """S1 over point rows: file stream of (point_id, ts, lat, lon).
+    ``schema`` overrides the default for streams carrying extra payload
+    columns (e.g. a measurement value for windowed_poly_stats)."""
+    r = spark.readStream.schema(schema or POINT_STREAM_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     return r.parquet(src_dir)
@@ -67,7 +70,8 @@ def region_cover(regions: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
 def spatial_join_stream(stream: DataFrame, regions: DataFrame, *,
                         point_id: str = "point_id",
                         level: int = DEFAULT_LEVEL,
-                        watermark: str | None = None) -> DataFrame:
+                        watermark: str | None = None,
+                        keep_point_cols: list[str] | None = None) -> DataFrame:
     """Exact point-in-polygon join of a point stream against a static
     polygon table → streaming (point_id, ts, poly_id) pairs.
 
@@ -95,7 +99,33 @@ def spatial_join_stream(stream: DataFrame, regions: DataFrame, *,
                     & (F.col("lon") <= F.col("lon_max"))))
     hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
                               F.col("ring"), holes=F.col("holes")))
-    return hit.select(point_id, "ts", "poly_id")
+    # extra point columns (e.g. a measurement value for
+    # windowed_poly_stats) ride the per-batch join for free, same as the
+    # batch operator's keep_point_cols
+    return hit.select(point_id, "ts", "poly_id", *(keep_point_cols or []))
+
+
+def windowed_poly_stats(pairs: DataFrame, value_col: str,
+                        window: str = "10 minutes",
+                        watermark: str | None = None) -> DataFrame:
+    """Streaming zonal statistics: per-polygon tumbling-window value
+    aggregation (n, sum, mean, min, max) — the live counterpart of
+    operators/zonal.zonal_stats. Build the pairs stream with
+    spatial_join_stream(..., watermark=..., keep_point_cols=[value_col]);
+    state stays O(windows × polygons) because the aggregates fold
+    incrementally."""
+    if watermark is not None:
+        pairs = pairs.withWatermark("ts", watermark)
+    return (pairs
+            .groupBy(F.window("ts", window).alias("win"), "poly_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(value_col).alias("sum"),
+                 F.avg(value_col).alias("mean"),
+                 F.min(value_col).alias("min"),
+                 F.max(value_col).alias("max"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "poly_id", "n", "sum", "mean", "min", "max"))
 
 
 def windowed_poly_counts(pairs: DataFrame, window: str = "10 minutes",

@@ -163,3 +163,34 @@ def test_holes_arrow_transport(spark):
         pip_udf(F.lit(5.0), F.lit(5.0), F.col("poly_id"), F.col("ring"),
                 holes=F.col("holes")).alias("hit")).collect()
     assert {r.poly_id: r.hit for r in hits} == {1: False, 2: True}
+
+
+def test_within_distance_join_exact_vs_bruteforce(spark, points_pdf):
+    """Fixed-radius distance join: pair set must equal brute-force
+    haversine over the cross product, at several radii and levels
+    (incl. a high-latitude query where longitude shrinkage matters)."""
+    from geopy_spark.operators.knn import within_distance_join
+    qpdf = pd.DataFrame({
+        "query_id": [0, 1, 2, 3],
+        "lat": [10.0, -35.5, 58.9, 0.0],     # 58.9: cos-shrink regime
+        "lon": [20.0, 150.2, -120.0, -179.8],  # near the antimeridian too
+    })
+    pts = spark.createDataFrame(points_pdf.rename(
+        columns={"point_id": "id"}))
+    qdf = spark.createDataFrame(qpdf)
+    for radius_km, level in ((250, 6), (1200, 4)):
+        got = {(r.query_id, r.id)
+               for r in within_distance_join(
+                   qdf, pts, radius_km * 1000.0, level=level,
+                   point_id="id").collect()}
+        want = set()
+        for q in qpdf.itertuples(index=False):
+            d = geodesy.haversine_m(
+                np.full(len(points_pdf), q.lat),
+                np.full(len(points_pdf), q.lon),
+                points_pdf["lat"].to_numpy(),
+                points_pdf["lon"].to_numpy())
+            for pid in points_pdf.loc[d <= radius_km * 1000.0, "point_id"]:
+                want.add((q.query_id, pid))
+        assert got == want, (radius_km, level)
+        assert len(want) > 0

@@ -131,3 +131,70 @@ def test_windowed_poly_counts_finalize_across_batches(spark, tmp_path,
     twin = {(str(r.win_start), r.poly_id): r.n_points for r in twin_rows
             if pd.Timestamp(r.win_start) < horizon}
     assert got == twin and len(twin) >= 2
+
+
+def test_windowed_poly_stats_match_batch_zonal_twin(spark, tmp_path,
+                                                    regions_pdf, regions):
+    """Streaming zonal stats (value column riding the per-batch join via
+    keep_point_cols) must equal the batch zonal aggregation restricted
+    to watermark-finalized windows."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from geopy_spark.streaming.spatial import (POINT_STREAM_SCHEMA,
+                                               windowed_poly_stats)
+
+    b0 = _point_rows(regions_pdf, 0, 18, "2026-01-01 00:00:00")
+    b1 = _point_rows(regions_pdf, 100, 18, "2026-01-01 00:12:00")
+    flush = _point_rows(regions_pdf, 900, 1, "2026-01-01 06:00:00")
+    for b in (b0, b1, flush):
+        b["value"] = (b["point_id"] % 13).astype(float)
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = StructType(POINT_STREAM_SCHEMA.fields
+                        + [StructField("value", DoubleType())])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pa_schema = pa.schema([("point_id", pa.int64()),
+                           ("ts", pa.timestamp("us")),
+                           ("lat", pa.float64()), ("lon", pa.float64()),
+                           ("value", pa.float64())])
+    for i, b in enumerate((b0, b1, flush)):
+        pq.write_table(pa.Table.from_pandas(b, schema=pa_schema,
+                                            preserve_index=False),
+                       str(src / f"b{i}.parquet"))
+
+    joined = SS.spatial_join_stream(
+        SS.point_stream_source(spark, str(src), max_files_per_trigger=1,
+                               schema=schema),
+        regions, level=LEVEL, watermark="30 minutes",
+        keep_point_cols=["value"])
+    out = windowed_poly_stats(joined, "value", window="10 minutes")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    S.run_available_now(out, ckpt, sink)
+    _write_file(_point_rows(regions_pdf, 901, 1, "2026-01-01 06:01:00"),
+                src / "b9.parquet")  # restart drain flushes (see above)
+    S.run_available_now(out, ckpt, sink)
+    got = {(str(r.win_start), r.poly_id):
+           (r.n, round(r["sum"], 9), round(r["mean"], 9),
+            r["min"], r["max"])
+           for r in spark.read.parquet(sink).collect()}
+
+    all_pts = spark.createDataFrame(
+        pd.concat([b0, b1, flush], ignore_index=True))
+    pairs = spatial_join(all_pts, regions, point_id="point_id", level=LEVEL,
+                         broadcast_regions=True, keep_point_cols=["value"])
+    twin_rows = (pairs.join(all_pts.select("point_id", "ts"), "point_id")
+                 .groupBy(F.window("ts", "10 minutes").alias("win"),
+                          "poly_id")
+                 .agg(F.count("*").alias("n"), F.sum("value").alias("sum"),
+                      F.avg("value").alias("mean"),
+                      F.min("value").alias("min"),
+                      F.max("value").alias("max"))
+                 .select(F.col("win.start").alias("win_start"), "poly_id",
+                         "n", "sum", "mean", "min", "max")
+                 .collect())
+    horizon = pd.Timestamp("2026-01-01 05:30:00")
+    twin = {(str(r.win_start), r.poly_id):
+            (r.n, round(r["sum"], 9), round(r["mean"], 9),
+             r["min"], r["max"])
+            for r in twin_rows if pd.Timestamp(r.win_start) < horizon}
+    assert got == twin and len(twin) >= 2
