@@ -301,8 +301,17 @@ def _all_edges(ring: np.ndarray, holes=None) -> tuple[np.ndarray, ...]:
 
 
 def _segments_cross(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2) -> bool:
-    """Any segment of edge set A intersecting any of B (touching counts —
-    boundary-inclusive, same convention as points_in_polygon). All-pairs
+    p, t = _segments_cross_detail(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2)
+    return p or t
+
+
+def _segments_cross_detail(ay1, ax1, ay2, ax2,
+                           by1, bx1, by2, bx2) -> tuple[bool, bool]:
+    """Segment-set intersection detail: (any PROPER crossing — interiors
+    of both segments cross transversally — , any TOUCH — endpoint within
+    EPS of the other segment, incl. collinear overlap). The predicate
+    split matters: `intersects` accepts either (boundary-inclusive),
+    `contains` forbids proper crossings but allows touching. All-pairs
     vectorized: [m,1] against [1,n] orientation signs with an EPS
     tolerance scaled by edge length so 'touching' matches the PIP
     kernel's distance-EPS semantics."""
@@ -323,8 +332,6 @@ def _segments_cross(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2) -> bool:
     d4 = _cross(ay1, ax1, ay2, ax2, by2, bx2)
     proper = (((d1 > tol_b) & (d2 < -tol_b)) | ((d1 < -tol_b) & (d2 > tol_b))) \
         & (((d3 > tol_a) & (d4 < -tol_a)) | ((d3 < -tol_a) & (d4 > tol_a)))
-    if proper.any():
-        return True
 
     # touch / collinear-overlap: an endpoint within tolerance of the other
     # segment's line AND inside its EPS-expanded bbox
@@ -339,7 +346,7 @@ def _segments_cross(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2) -> bool:
              | _on(by1, bx1, by2, bx2, d2, ay2, ax2, tol_b)
              | _on(ay1, ax1, ay2, ax2, d3, by1, bx1, tol_a)
              | _on(ay1, ax1, ay2, ax2, d4, by2, bx2, tol_a))
-    return bool(touch.any())
+    return bool(proper.any()), bool(touch.any())
 
 
 def polygons_intersect(ring_a: np.ndarray, ring_b: np.ndarray,
@@ -370,3 +377,50 @@ def polygons_intersect(ring_a: np.ndarray, ring_b: np.ndarray,
     if points_in_polygon(ra[:, 0], ra[:, 1], rb, holes=holes_b).any():
         return True
     return bool(points_in_polygon(rb[:, 0], rb[:, 1], ra, holes=holes_a).any())
+
+
+def polygon_contains(ring_a: np.ndarray, ring_b: np.ndarray,
+                     holes_a=None, holes_b=None) -> bool:
+    """A ⊇ B: region containment (boundary-inclusive — B touching A's
+    boundary from inside still counts). Decision procedure:
+
+    1. B's bbox within A's bbox (±EPS), else False.
+    2. Any PROPER boundary crossing (∂A transversally crossing ∂B,
+       hole rims included) → B leaves A → False. Touching/collinear
+       contact is allowed.
+    3. Every B outer vertex inside A (outer-minus-holes, inclusive) —
+       with no proper crossing, B's connected region then lies in A's
+       closure UNLESS one of A's holes carves its interior out:
+    4. Any vertex of an A-hole STRICTLY interior to B's region → the
+       hole's interior meets B's interior → False. (A hole swallowing B
+       whole is already caught by 3: B's vertices sit in hole interior,
+       which points_in_polygon excludes.)
+    """
+    a_lat0, a_lat1, a_lon0, a_lon1 = ring_bbox(ring_a)
+    b_lat0, b_lat1, b_lon0, b_lon1 = ring_bbox(ring_b)
+    if (b_lat0 < a_lat0 - EPS or b_lat1 > a_lat1 + EPS
+            or b_lon0 < a_lon0 - EPS or b_lon1 > a_lon1 + EPS):
+        return False
+    proper, _ = _segments_cross_detail(*_all_edges(ring_a, holes_a),
+                                       *_all_edges(ring_b, holes_b))
+    if proper:
+        return False
+    rb = np.asarray(ring_b, dtype=np.float64)
+    if not points_in_polygon(rb[:, 0], rb[:, 1],
+                             np.asarray(ring_a, dtype=np.float64),
+                             holes=holes_a).all():
+        return False
+    holes_b = list(holes_b) if holes_b is not None else []
+    for h in holes_a if holes_a is not None else ():
+        h = np.asarray(h, dtype=np.float64)
+        strict = points_in_ring_interior(h[:, 0], h[:, 1], rb)
+        for hb in holes_b:
+            if not strict.any():
+                break
+            hb = np.asarray(hb, dtype=np.float64)
+            # a hole vertex sitting in (the closure of) one of B's own
+            # holes is not interior to B's region
+            strict &= ~points_in_ring(h[:, 0], h[:, 1], hb)
+        if strict.any():
+            return False
+    return True

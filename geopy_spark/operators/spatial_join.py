@@ -259,18 +259,23 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
 # ------------------------------------------------------- polygon ⋈ polygon
 
 def polygons_intersect_udf(ring_a: Column, holes_a: Column | None,
-                           ring_b: Column, holes_b: Column | None) -> Column:
-    """Exact boundary-inclusive polygon-pair intersection (G16 residual).
-    Per-row python over the numpy kernel — acceptable because it runs
-    only on cover-join candidates that already passed the bbox prune
-    (pairs, not the cross product); the inner work is vectorized
-    all-pairs edge orientation math."""
+                           ring_b: Column, holes_b: Column | None,
+                           predicate: str = "intersects") -> Column:
+    """Exact boundary-inclusive polygon-pair predicate (G16 residual):
+    'intersects' or 'contains' (left ⊇ right). Per-row python over the
+    numpy kernel — acceptable because it runs only on cover-join
+    candidates that already passed the bbox prune (pairs, not the cross
+    product); the inner work is vectorized all-pairs edge orientation
+    math."""
+    kern = {"intersects": P.polygons_intersect,
+            "contains": P.polygon_contains}[predicate]
+
     @F.pandas_udf(BooleanType())
     def _pi(ra: pd.Series, haf: pd.Series, has: pd.Series,
             rb: pd.Series, hbf: pd.Series, hbs: pd.Series) -> pd.Series:
         out = np.empty(len(ra), dtype=bool)
         for i in range(len(ra)):
-            out[i] = P.polygons_intersect(
+            out[i] = kern(
                 _np_ring(ra.iloc[i]), _np_ring(rb.iloc[i]),
                 holes_a=_np_holes(haf.iloc[i], has.iloc[i]),
                 holes_b=_np_holes(hbf.iloc[i], hbs.iloc[i]))
@@ -289,11 +294,14 @@ def _prep_polys(df: DataFrame) -> DataFrame:
 
 def polygon_join(left: DataFrame, right: DataFrame, *,
                  level: int = DEFAULT_LEVEL,
-                 broadcast_right: bool | None = None) -> DataFrame:
-    """Polygon ⋈ polygon intersection join (G16): (l_id, r_id) pairs of
-    polygons whose regions (outer minus holes, boundary-inclusive)
-    intersect. Both inputs use the regions schema: (poly_id, ring,
-    lat_min/lat_max/lon_min/lon_max [, holes]).
+                 broadcast_right: bool | None = None,
+                 predicate: str = "intersects") -> DataFrame:
+    """Polygon ⋈ polygon join (G16): (l_id, r_id) pairs of polygons
+    whose regions (outer minus holes, boundary-inclusive) satisfy
+    ``predicate`` — 'intersects' (default) or 'contains' (left ⊇
+    right; A ⊇ B implies they intersect, so the cover candidates are a
+    superset for both predicates). Both inputs use the regions schema:
+    (poly_id, ring, lat_min/lat_max/lon_min/lon_max [, holes]).
 
     Plan shape — same discipline as the point join, adapted to the fact
     that a polygon PAIR can share MANY cells (a point-polygon pair meets
@@ -349,5 +357,6 @@ def polygon_join(left: DataFrame, right: DataFrame, *,
         & (F.col("lon_min_l") <= F.col("lon_max_r"))
         & (F.col("lon_min_r") <= F.col("lon_max_l")))
     hit = cand.filter(polygons_intersect_udf(
-        F.col("ring_l"), F.col("holes_l"), F.col("ring_r"), F.col("holes_r")))
+        F.col("ring_l"), F.col("holes_l"), F.col("ring_r"), F.col("holes_r"),
+        predicate=predicate))
     return hit.select("l_id", "r_id")

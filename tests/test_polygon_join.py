@@ -122,3 +122,79 @@ def test_spatial_join_compact_cover_identical_pairs(spark, fixtures):
     comp_n = regions.select(F.explode(polygon_cover_udf(
         F.col("ring"), 7, holes=F.col("holes"), compact=True))).count()
     assert comp_n < plain_n
+
+
+def test_contains_kernel_decision_table():
+    A = _sq(0, 0, 10)
+    hole = [_sq(2, 2, 6)]
+    cases = [
+        (A, _sq(1, 1, 3), None, None, True),      # nested
+        (A, A, None, None, True),                 # identical (touch ok)
+        (A, _sq(0, 0, 5), None, None, True),      # shares corner/edges
+        (A, _sq(5, 5, 10), None, None, False),    # partial overlap
+        (A, _sq(20, 20, 3), None, None, False),   # disjoint
+        (_sq(1, 1, 3), A, None, None, False),     # direction matters
+        (A, _sq(3, 3, 2), hole, None, False),     # B inside A's hole
+        (A, _sq(1, 1, 8), hole, None, False),     # B swallows the hole
+        (A, _sq(0.5, 0.5, 1), hole, None, True),  # B in the solid rim
+        (A, _sq(1, 1, 8), None, [_sq(3, 3, 2)], True),   # B has own hole
+        (A, _sq(1, 1, 8), [_sq(3, 3, 2)], [_sq(2.5, 2.5, 3)], True),
+        (A, _sq(1, 1, 8), [_sq(3, 3, 4)], [_sq(3, 3, 2)], False),
+    ]
+    for ra, rb, ha, hb, want in cases:
+        assert P.polygon_contains(ra, rb, holes_a=ha, holes_b=hb) == want
+
+
+def _brute_contains(a_pdf, b_pdf):
+    out = set()
+    for ra in a_pdf.itertuples(index=False):
+        ring_a = np.array(ra.ring, dtype=float)
+        holes_a = [np.array(h, dtype=float) for h in ra.holes]
+        for rb in b_pdf.itertuples(index=False):
+            if P.polygon_contains(
+                    ring_a, np.array(rb.ring, dtype=float),
+                    holes_a=holes_a,
+                    holes_b=[np.array(h, dtype=float) for h in rb.holes]):
+                out.add((ra.poly_id, rb.poly_id))
+    return out
+
+
+def test_contains_predicate_operator(spark, fixtures):
+    """polygon_join(predicate='contains') vs exhaustive kernel oracle.
+    The random fixtures rarely nest, so plant scaled-down copies of a
+    few left polygons inside themselves to guarantee true positives."""
+    a_pdf, _ = fixtures
+    import pandas as pd
+    planted = []
+    for k, r in enumerate(a_pdf.head(4).itertuples(index=False)):
+        # half-scale copy about the vertex centroid, INHERITING the
+        # parent's hole: the scaled outer clears the hole (hole radius is
+        # 0.45x the centroid-to-edge distance; half of any direction's
+        # outer radius is >= 0.5x that distance) and sharing the hole
+        # keeps the parent's hole interior out of the child's region
+        ring = np.array(r.ring, dtype=float)
+        cy, cx = ring[:, 0].mean(), ring[:, 1].mean()
+        small = np.stack([cy + (ring[:, 0] - cy) * 0.5,
+                          cx + (ring[:, 1] - cx) * 0.5], axis=1)
+        planted.append({
+            "poly_id": 1000 + k,
+            "name": f"planted{k}",
+            "ring": [[float(a), float(o)] for a, o in small],
+            "holes": [[[float(a), float(o)] for a, o in h]
+                      for h in r.holes],
+            "lat_min": float(small[:, 0].min()),
+            "lat_max": float(small[:, 0].max()),
+            "lon_min": float(small[:, 1].min()),
+            "lon_max": float(small[:, 1].max()),
+        })
+    b_pdf = pd.DataFrame(planted)
+    left = spark.createDataFrame(a_pdf, schema=_REGIONS_SCHEMA)
+    right = spark.createDataFrame(b_pdf, schema=_REGIONS_SCHEMA)
+    got = {(r.l_id, r.r_id)
+           for r in polygon_join(left, right, level=6,
+                                 predicate="contains").collect()}
+    want = _brute_contains(a_pdf, b_pdf)
+    assert got == want
+    # scaled-down star polygons may poke outside their concave parent,
+    # but at 0.25 scale around the vertex centroid at least some nest
+    assert len(want) >= 2
