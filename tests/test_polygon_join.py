@@ -198,3 +198,36 @@ def test_contains_predicate_operator(spark, fixtures):
     # scaled-down star polygons may poke outside their concave parent,
     # but at 0.25 scale around the vertex centroid at least some nest
     assert len(want) >= 2
+
+
+def test_intersect_kernel_randomized_one_sided_oracles():
+    """Randomized soundness: (a) polygon pairs with bboxes separated by
+    a margin must be disjoint; (b) pairs CONSTRUCTED to share a common
+    interior point must intersect; (c) intersects is symmetric. 300
+    random convex/star pairs each way."""
+    rng = np.random.default_rng(42)
+
+    def rand_poly(cy, cx, rmax):
+        # angular gaps bounded < pi so the polygon is star-shaped about
+        # and CONTAINS its center (uniform sorted angles can cluster in
+        # a half-plane, leaving the center outside)
+        nv = int(rng.integers(4, 12))
+        th = (rng.uniform(0, 2 * np.pi)
+              + np.arange(nv) * 2 * np.pi / nv
+              + rng.uniform(-0.4, 0.4, nv) * 2 * np.pi / nv)
+        rr = rng.uniform(0.3 * rmax, rmax, nv)
+        return np.stack([cy + rr * np.sin(th), cx + rr * np.cos(th)], axis=1)
+
+    for _ in range(300):
+        # (a) separated: centers farther apart than the radii sum + margin
+        a = rand_poly(0.0, 0.0, 3.0)
+        b = rand_poly(0.0, 8.0, 3.0)   # gap >= 2 along x
+        assert not P.polygons_intersect(a, b)
+        assert not P.polygons_intersect(b, a)
+        # (b) shared point: translate b so both contain the origin-ish
+        # point — put b's center ON a vertex of a (vertex belongs to a;
+        # b contains its own center because rr >= 0.3*rmax > 0)
+        v = a[int(rng.integers(len(a)))]
+        c = rand_poly(v[0], v[1], 2.0)
+        assert P.polygons_intersect(a, c), (a, c)
+        assert P.polygons_intersect(c, a)
