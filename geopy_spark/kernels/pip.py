@@ -28,6 +28,15 @@ from .cells import cell_encode, cell_center, cell_size_deg, latlon_to_ij, ij_to_
 # as inside (single knob — both the line-distance and bbox tests use it)
 EPS = 1e-9
 
+# Bounded scratch for the all-pairs vectorized kernels (round 5): every
+# [rows, edges] / [edges_a, edges_b] intermediate is computed in blocks of
+# at most this many float64 elements (~32 MB each, ≲10 live at once ⇒
+# ~0.3 GB peak regardless of ring size). Without it a single 50k-vertex
+# coastline PAIR test allocates O(E_a × E_b) ≈ 20 GB per intermediate —
+# the VERDICT r4 scale-killer. Same math, same results: blocks reduce by
+# any()/sum() along the edge axis, which is associative.
+EDGE_BLOCK_ELEMS = 1 << 22
+
 
 def _as_edges(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """ring [E,2] (lat,lon) → edge endpoint arrays y1,x1,y2,x2 each [E]."""
@@ -46,32 +55,48 @@ def _ring_inside_on_edge(plat: np.ndarray, plon: np.ndarray,
     winding-number recomputation for rows whose ray passes within EPS of a
     vertex latitude (the degenerate cases the half-open rule can still get
     wrong under floating-point); explicit on-edge/vertex proximity test.
+
+    Scratch is bounded: the [N, E] work runs in edge blocks of
+    ≤ EDGE_BLOCK_ELEMS elements (crossing counts and on-edge flags reduce
+    associatively across blocks), so a 500k-vertex coastline ring costs
+    ~32 MB of scratch, not N×E×8 bytes.
     """
-    py = np.asarray(plat, dtype=np.float64)[:, None]   # [N,1]
-    px = np.asarray(plon, dtype=np.float64)[:, None]
-    y1, x1, y2, x2 = _as_edges(ring)                    # [E]
+    py_f = np.asarray(plat, dtype=np.float64)           # [N]
+    px_f = np.asarray(plon, dtype=np.float64)
+    py, px = py_f[:, None], px_f[:, None]               # [N,1]
+    ey1, ex1, ey2, ex2 = _as_edges(ring)                # [E]
+    n_pts, n_edges = len(py_f), len(ey1)
+    blk = max(1, EDGE_BLOCK_ELEMS // max(n_pts, 1))
 
-    # --- on-edge / on-vertex: |cross| ~ 0 and within segment bbox ---
-    dx, dy = x2 - x1, y2 - y1
-    cross = dx * (py - y1) - dy * (px - x1)
-    seg_len2 = dx * dx + dy * dy
-    on_line = cross * cross <= (EPS * EPS) * np.maximum(seg_len2, EPS * EPS)
-    in_bbox = ((px >= np.minimum(x1, x2) - EPS) & (px <= np.maximum(x1, x2) + EPS) &
-               (py >= np.minimum(y1, y2) - EPS) & (py <= np.maximum(y1, y2) + EPS))
-    on_edge = (on_line & in_bbox).any(axis=1)
+    on_edge = np.zeros(n_pts, dtype=bool)
+    crossings = np.zeros(n_pts, dtype=np.int64)
+    vertex_graze = np.zeros(n_pts, dtype=bool)
+    for s in range(0, n_edges, blk):
+        y1, x1 = ey1[s:s + blk], ex1[s:s + blk]
+        y2, x2 = ey2[s:s + blk], ex2[s:s + blk]
 
-    # --- ray cast: horizontal ray to +x (east); half-open rule ---
-    cond = (y1 > py) != (y2 > py)                       # [N,E]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x1 + dy_safe_div(dx, dy, py - y1)
-    crossings = (cond & (px < xint)).sum(axis=1)
+        # --- on-edge / on-vertex: |cross| ~ 0 and within segment bbox ---
+        dx, dy = x2 - x1, y2 - y1
+        cross = dx * (py - y1) - dy * (px - x1)
+        seg_len2 = dx * dx + dy * dy
+        on_line = cross * cross <= (EPS * EPS) * np.maximum(seg_len2, EPS * EPS)
+        in_bbox = ((px >= np.minimum(x1, x2) - EPS) & (px <= np.maximum(x1, x2) + EPS) &
+                   (py >= np.minimum(y1, y2) - EPS) & (py <= np.maximum(y1, y2) + EPS))
+        on_edge |= (on_line & in_bbox).any(axis=1)
+
+        # --- ray cast: horizontal ray to +x (east); half-open rule ---
+        cond = (y1 > py) != (y2 > py)                   # [N,blk]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + dy_safe_div(dx, dy, py - y1)
+        crossings += (cond & (px < xint)).sum(axis=1)
+        vertex_graze |= (np.abs(py - y1) < 1e-9).any(axis=1)
+
     inside = (crossings % 2) == 1
 
     # --- winding-number fallback for vertex-grazing rays ---
-    vertex_graze = (np.abs(py - y1) < 1e-9).any(axis=1)
     if vertex_graze.any():
         idx = np.nonzero(vertex_graze)[0]
-        wn = _winding_number(py[idx, 0], px[idx, 0], y1, x1, y2, x2)
+        wn = _winding_number(py_f[idx], px_f[idx], ey1, ex1, ey2, ex2)
         inside[idx] = wn != 0
 
     return inside, on_edge
@@ -112,13 +137,22 @@ def dy_safe_div(dx: np.ndarray, dy: np.ndarray, num: np.ndarray) -> np.ndarray:
     return num * out
 
 
-def _winding_number(py, px, y1, x1, y2, x2) -> np.ndarray:
-    """Nonzero-rule winding number; py/px [M], edges [E] → int[M]."""
+def _winding_number(py, px, ey1, ex1, ey2, ex2) -> np.ndarray:
+    """Nonzero-rule winding number; py/px [M], edges [E] → int[M].
+    Edge-blocked like _ring_inside_on_edge (up/down counts sum across
+    blocks)."""
     py, px = py[:, None], px[:, None]
-    is_left = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
-    up = (y1 <= py) & (y2 > py) & (is_left > 0)
-    dn = (y1 > py) & (y2 <= py) & (is_left < 0)
-    return up.sum(axis=1) - dn.sum(axis=1)
+    m = py.shape[0]
+    blk = max(1, EDGE_BLOCK_ELEMS // max(m, 1))
+    wn = np.zeros(m, dtype=np.int64)
+    for s in range(0, len(ey1), blk):
+        y1, x1 = ey1[s:s + blk], ex1[s:s + blk]
+        y2, x2 = ey2[s:s + blk], ex2[s:s + blk]
+        is_left = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        up = (y1 <= py) & (y2 > py) & (is_left > 0)
+        dn = (y1 > py) & (y2 <= py) & (is_left < 0)
+        wn += up.sum(axis=1) - dn.sum(axis=1)
+    return wn
 
 
 # ------------------------------------------------ antimeridian splitting
@@ -269,20 +303,29 @@ def polygon_cover(ring: np.ndarray, level: int, holes=None) -> np.ndarray:
 def _cell_touches_ring(clat, clon, half, ring) -> np.ndarray:
     """Does the cell rect [clat±half, clon±2·half] touch any ring edge?
     Conservative segment-vs-rect overlap via per-axis interval tests plus a
-    line-side test (exact separating-axis for segment vs axis-aligned box)."""
-    y1, x1, y2, x2 = _as_edges(ring)
+    line-side test (exact separating-axis for segment vs axis-aligned box).
+    Edge-blocked to EDGE_BLOCK_ELEMS scratch like the PIP kernel (the
+    per-block any() ORs across blocks)."""
+    ey1, ex1, ey2, ex2 = _as_edges(ring)
     cy, cx = np.asarray(clat)[:, None], np.asarray(clon)[:, None]
     hy, hx = half, 2.0 * half
-    # bbox overlap of edge and cell rect
-    ey_min, ey_max = np.minimum(y1, y2), np.maximum(y1, y2)
-    ex_min, ex_max = np.minimum(x1, x2), np.maximum(x1, x2)
-    bb = ((ey_min <= cy + hy) & (ey_max >= cy - hy) &
-          (ex_min <= cx + hx) & (ex_max >= cx - hx))
-    # separating-axis: line through edge vs rect corners
-    dy, dx = y2 - y1, x2 - x1
-    d = np.abs(dx * (cy - y1) - dy * (cx - x1))
-    r = np.abs(dx) * hy + np.abs(dy) * hx
-    return (bb & (d <= r)).any(axis=1)
+    n_cells = cy.shape[0]
+    blk = max(1, EDGE_BLOCK_ELEMS // max(n_cells, 1))
+    out = np.zeros(n_cells, dtype=bool)
+    for s in range(0, len(ey1), blk):
+        y1, x1 = ey1[s:s + blk], ex1[s:s + blk]
+        y2, x2 = ey2[s:s + blk], ex2[s:s + blk]
+        # bbox overlap of edge and cell rect
+        ey_min, ey_max = np.minimum(y1, y2), np.maximum(y1, y2)
+        ex_min, ex_max = np.minimum(x1, x2), np.maximum(x1, x2)
+        bb = ((ey_min <= cy + hy) & (ey_max >= cy - hy) &
+              (ex_min <= cx + hx) & (ex_max >= cx - hx))
+        # separating-axis: line through edge vs rect corners
+        dy, dx = y2 - y1, x2 - x1
+        d = np.abs(dx * (cy - y1) - dy * (cx - x1))
+        r = np.abs(dx) * hy + np.abs(dy) * hx
+        out |= (bb & (d <= r)).any(axis=1)
+    return out
 
 
 # ------------------------------------------------------- polygon ⋈ polygon
@@ -305,8 +348,8 @@ def _segments_cross(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2) -> bool:
     return p or t
 
 
-def _segments_cross_detail(ay1, ax1, ay2, ax2,
-                           by1, bx1, by2, bx2) -> tuple[bool, bool]:
+def _segments_cross_detail(eay1, eax1, eay2, eax2,
+                           eby1, ebx1, eby2, ebx2) -> tuple[bool, bool]:
     """Segment-set intersection detail: (any PROPER crossing — interiors
     of both segments cross transversally — , any TOUCH — endpoint within
     EPS of the other segment, incl. collinear overlap). The predicate
@@ -314,39 +357,104 @@ def _segments_cross_detail(ay1, ax1, ay2, ax2,
     `contains` forbids proper crossings but allows touching. All-pairs
     vectorized: [m,1] against [1,n] orientation signs with an EPS
     tolerance scaled by edge length so 'touching' matches the PIP
-    kernel's distance-EPS semantics."""
-    ay1, ax1, ay2, ax2 = (v[:, None] for v in (ay1, ax1, ay2, ax2))
-    by1, bx1, by2, bx2 = (v[None, :] for v in (by1, bx1, by2, bx2))
+    kernel's distance-EPS semantics.
 
-    # orientation of point (py,px) relative to directed segment (1->2)
-    def _cross(sy1, sx1, sy2, sx2, py, px):
-        return (sx2 - sx1) * (py - sy1) - (sy2 - sy1) * (px - sx1)
+    Scratch is bounded (round 5): the [m, n] pair space runs in
+    [≤4096, ≤EDGE_BLOCK_ELEMS/4096] tiles (any() reduces associatively;
+    both flags short-circuit once True), so two 100k-edge coastlines
+    never allocate the O(E_a × E_b) matrices — peak scratch stays
+    ~EDGE_BLOCK_ELEMS×8 bytes per intermediate."""
+    m, n = len(eay1), len(eby1)
+    if m == 0 or n == 0:
+        return False, False
+    mb = min(m, 4096)
+    nb = max(1, EDGE_BLOCK_ELEMS // mb)
+    proper_any = touch_any = False
+    for i in range(0, m, mb):
+        ay1, ax1, ay2, ax2 = (v[i:i + mb, None]
+                              for v in (eay1, eax1, eay2, eax2))
+        len_a = np.hypot(ay2 - ay1, ax2 - ax1)
+        tol_a = EPS * np.maximum(len_a, EPS)
+        for j in range(0, n, nb):
+            by1, bx1, by2, bx2 = (v[None, j:j + nb]
+                                  for v in (eby1, ebx1, eby2, ebx2))
 
-    len_b = np.hypot(by2 - by1, bx2 - bx1)
-    len_a = np.hypot(ay2 - ay1, ax2 - ax1)
-    tol_b = EPS * np.maximum(len_b, EPS)
-    tol_a = EPS * np.maximum(len_a, EPS)
-    d1 = _cross(by1, bx1, by2, bx2, ay1, ax1)
-    d2 = _cross(by1, bx1, by2, bx2, ay2, ax2)
-    d3 = _cross(ay1, ax1, ay2, ax2, by1, bx1)
-    d4 = _cross(ay1, ax1, ay2, ax2, by2, bx2)
-    proper = (((d1 > tol_b) & (d2 < -tol_b)) | ((d1 < -tol_b) & (d2 > tol_b))) \
-        & (((d3 > tol_a) & (d4 < -tol_a)) | ((d3 < -tol_a) & (d4 > tol_a)))
+            # orientation of point (py,px) relative to directed segment (1->2)
+            def _cross(sy1, sx1, sy2, sx2, py, px):
+                return (sx2 - sx1) * (py - sy1) - (sy2 - sy1) * (px - sx1)
 
-    # touch / collinear-overlap: an endpoint within tolerance of the other
-    # segment's line AND inside its EPS-expanded bbox
-    def _on(sy1, sx1, sy2, sx2, d, py, px, tol):
-        inbox = ((py >= np.minimum(sy1, sy2) - EPS)
-                 & (py <= np.maximum(sy1, sy2) + EPS)
-                 & (px >= np.minimum(sx1, sx2) - EPS)
-                 & (px <= np.maximum(sx1, sx2) + EPS))
-        return (np.abs(d) <= tol) & inbox
+            len_b = np.hypot(by2 - by1, bx2 - bx1)
+            tol_b = EPS * np.maximum(len_b, EPS)
+            d1 = _cross(by1, bx1, by2, bx2, ay1, ax1)
+            d2 = _cross(by1, bx1, by2, bx2, ay2, ax2)
+            d3 = _cross(ay1, ax1, ay2, ax2, by1, bx1)
+            d4 = _cross(ay1, ax1, ay2, ax2, by2, bx2)
+            proper = (((d1 > tol_b) & (d2 < -tol_b))
+                      | ((d1 < -tol_b) & (d2 > tol_b))) \
+                & (((d3 > tol_a) & (d4 < -tol_a))
+                   | ((d3 < -tol_a) & (d4 > tol_a)))
 
-    touch = (_on(by1, bx1, by2, bx2, d1, ay1, ax1, tol_b)
-             | _on(by1, bx1, by2, bx2, d2, ay2, ax2, tol_b)
-             | _on(ay1, ax1, ay2, ax2, d3, by1, bx1, tol_a)
-             | _on(ay1, ax1, ay2, ax2, d4, by2, bx2, tol_a))
-    return bool(proper.any()), bool(touch.any())
+            # touch / collinear-overlap: an endpoint within tolerance of
+            # the other segment's line AND inside its EPS-expanded bbox
+            def _on(sy1, sx1, sy2, sx2, d, py, px, tol):
+                inbox = ((py >= np.minimum(sy1, sy2) - EPS)
+                         & (py <= np.maximum(sy1, sy2) + EPS)
+                         & (px >= np.minimum(sx1, sx2) - EPS)
+                         & (px <= np.maximum(sx1, sx2) + EPS))
+                return (np.abs(d) <= tol) & inbox
+
+            touch = (_on(by1, bx1, by2, bx2, d1, ay1, ax1, tol_b)
+                     | _on(by1, bx1, by2, bx2, d2, ay2, ax2, tol_b)
+                     | _on(ay1, ax1, ay2, ax2, d3, by1, bx1, tol_a)
+                     | _on(ay1, ax1, ay2, ax2, d4, by2, bx2, tol_a))
+            proper_any = proper_any or bool(proper.any())
+            touch_any = touch_any or bool(touch.any())
+            if proper_any and touch_any:
+                return True, True
+    return proper_any, touch_any
+
+
+def _region_interior_point(ring: np.ndarray, holes=None):
+    """A point STRICTLY interior to (ring minus holes), or None when the
+    scanline probes fail (degenerate slivers thinner than EPS). Even-odd
+    over the combined edge list: a horizontal line that grazes no vertex
+    crosses the region boundary an even number of times, and midpoints of
+    consecutive crossing pairs alternate strictly inside/outside starting
+    inside — each candidate is verified against the kernels before being
+    returned, so a degenerate scanline can't yield a wrong point."""
+    ring = np.asarray(ring, dtype=np.float64)
+    holes = [np.asarray(h, dtype=np.float64) for h in (holes or [])]
+    lat_min, lat_max = ring[:, 0].min(), ring[:, 0].max()
+    span = lat_max - lat_min
+    if span <= 4 * EPS:
+        return None
+    all_lats = np.concatenate([ring[:, 0]] + [h[:, 0] for h in holes])
+    for frac in (0.5, 0.379, 0.621, 0.233, 0.767, 0.443, 0.557,
+                 0.101, 0.899, 0.317, 0.683):
+        y = lat_min + frac * span
+        if np.abs(all_lats - y).min() <= 1e-7 * span:
+            continue  # scanline grazes a vertex: parity unreliable
+        xs = []
+        for r in [ring] + holes:
+            y1, x1, y2, x2 = _as_edges(r)
+            cond = (y1 > y) != (y2 > y)
+            if cond.any():
+                t = (y - y1[cond]) / (y2[cond] - y1[cond])
+                xs.append(x1[cond] + t * (x2[cond] - x1[cond]))
+        if not xs:
+            continue
+        xs = np.sort(np.concatenate(xs))
+        for k in range(0, len(xs) - 1, 2):
+            if xs[k + 1] - xs[k] <= 8 * EPS:
+                continue
+            py = np.array([y])
+            px = np.array([0.5 * (xs[k] + xs[k + 1])])
+            if not points_in_ring_interior(py, px, ring)[0]:
+                continue
+            if any(points_in_ring(py, px, h)[0] for h in holes):
+                continue
+            return float(py[0]), float(px[0])
+    return None
 
 
 def polygons_intersect(ring_a: np.ndarray, ring_b: np.ndarray,
@@ -406,11 +514,23 @@ def polygon_contains(ring_a: np.ndarray, ring_b: np.ndarray,
     if proper:
         return False
     rb = np.asarray(ring_b, dtype=np.float64)
-    if not points_in_polygon(rb[:, 0], rb[:, 1],
-                             np.asarray(ring_a, dtype=np.float64),
-                             holes=holes_a).all():
+    ra = np.asarray(ring_a, dtype=np.float64)
+    if not points_in_polygon(rb[:, 0], rb[:, 1], ra, holes=holes_a).all():
         return False
     holes_b = list(holes_b) if holes_b is not None else []
+    # 3b (round 5, ADVICE r4): full boundary coincidence of B with an
+    # A-hole rim passes every vertex test — B's vertices sit ON the rim
+    # (boundary counts as inside A) and the rim's vertices are on B's
+    # boundary (not strictly interior) — yet B's interior IS the hole,
+    # i.e. outside A. One representative point of B's open interior
+    # settles it: with no proper boundary crossing, that interior lies
+    # entirely in a single face of A's boundary arrangement, so one
+    # strict-interior probe decides the whole region.
+    if holes_a:
+        p = _region_interior_point(rb, holes_b)
+        if p is not None and not points_in_polygon(
+                np.array([p[0]]), np.array([p[1]]), ra, holes=holes_a)[0]:
+            return False
     for h in holes_a if holes_a is not None else ():
         h = np.asarray(h, dtype=np.float64)
         strict = points_in_ring_interior(h[:, 0], h[:, 1], rb)

@@ -118,14 +118,33 @@ def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column,
             holes: Column | None = None) -> Column:
     """Exact point-in-polygon test (G5) — outer ring minus interior
     rings — vectorized per polygon group within each Arrow batch
-    (candidate pairs arrive clustered by polygon)."""
+    (candidate pairs arrive clustered by polygon).
+
+    Groups by (poly_id, geometry fingerprint), NOT poly_id alone
+    (ADVICE r4 medium): MultiPolygon PARTS share poly_id, and a batch
+    holding rows of two parts must test each row against ITS OWN ring —
+    grouping by bare poly_id evaluated the whole run against the first
+    row's geometry. The fingerprint is O(1) per row (vertex count, first
+    and middle outer vertices, hole count) — parts of one feature always
+    differ in it; a collision would require two distinct part geometries
+    agreeing on all five values."""
     @F.pandas_udf(BooleanType())
     def _pip(la: pd.Series, lo: pd.Series, pid: pd.Series,
              rg: pd.Series, hf: pd.Series, hs: pd.Series) -> pd.Series:
         out = np.zeros(len(la), dtype=bool)
         la_np = la.to_numpy(np.float64)
         lo_np = lo.to_numpy(np.float64)
-        for _, idx in pd.Series(range(len(pid))).groupby(pid.values).groups.items():
+        fps = np.empty(len(pid), dtype=object)
+        rg_vals, hs_vals = rg.values, hs.values
+        for i in range(len(pid)):
+            r = rg_vals[i]
+            n = len(r)
+            a, m = r[0], r[n >> 1]
+            fps[i] = (n, float(a[0]), float(a[1]),
+                      float(m[0]), float(m[1]), len(hs_vals[i]))
+        groups = pd.Series(range(len(pid))).groupby(
+            [pid.values, fps]).groups.items()
+        for _, idx in groups:
             ii = np.asarray(idx)
             ring_np = _np_ring(rg.iloc[ii[0]])
             holes_np = _np_holes(hf.iloc[ii[0]], hs.iloc[ii[0]])

@@ -206,10 +206,20 @@ def split_antimeridian(regions: DataFrame, ring_col: str = "ring",
     poly_id), so joins work from BOTH sides of the seam with no operator
     change. Holes are clipped by the same seam into their part.
 
-    Non-crossing rows pass through byte-identical. New parts renumber as
-    ``part*64 + piece`` to stay unique without a shuffle (the split is a
-    narrow mapInPandas over the vector side; 64 ≫ pieces per member).
-    bboxes are recomputed for the split parts."""
+    EVERY row renumbers its part as ``part*64`` (+ piece index for split
+    rows) so the part keyspace stays collision-free — renumbering only
+    split rows let a split piece ``0*64+1`` collide with an untouched
+    part 1 (ADVICE r4). The map is monotone, so part ORDER (which
+    to_geojson_multi / to_wkt_multi sort on) is preserved; ring bytes of
+    non-crossing rows pass through identical. bboxes are recomputed for
+    the split parts.
+
+    Vectorized (round 5): candidate detection is pure column math over
+    the bbox — a ring whose lon span is ≤180° and in-range CANNOT cross
+    (no consecutive Δlon can exceed the total span), so the per-ring
+    numpy kernel runs ONLY on the rare candidates and a 10⁵-feature
+    in-range layer costs one bbox scan plus a frame rebuild, with no
+    per-row pandas iteration."""
     import numpy as np
     import pandas as pd
 
@@ -222,39 +232,103 @@ def split_antimeridian(regions: DataFrame, ring_col: str = "ring",
         regions = regions.withColumn(part_col, F.lit(0))
     schema = regions.schema
     cols = list(regions.columns)
+    bbox_cols = [c for c in ("lat_min", "lat_max", "lon_min", "lon_max")
+                 if c in cols]
+    has_bbox = {"lon_min", "lon_max"} <= set(bbox_cols)
+
+    def _obj_col(values: list) -> np.ndarray:
+        arr = np.empty(len(values), dtype=object)
+        for i, v in enumerate(values):
+            arr[i] = v
+        return arr
 
     def gen(batches):
         for pdf in batches:
-            recs = []
-            for _, row in pdf.iterrows():
-                ring = row[ring_col]
-                if ring is None:
-                    recs.append(row)
+            n = len(pdf)
+            if n == 0:
+                yield pdf
+                continue
+            rings = pdf[ring_col].values
+            if has_bbox:
+                lon0 = pdf["lon_min"].to_numpy(np.float64, na_value=0.0)
+                lon1 = pdf["lon_max"].to_numpy(np.float64, na_value=0.0)
+                cand = ~((lon1 - lon0 <= 180.0)
+                         & (lon0 >= -180.0) & (lon1 <= 180.0))
+            else:
+                cand = np.zeros(n, dtype=bool)
+                for i, r in enumerate(rings):
+                    if r is not None and len(r):
+                        lons = np.asarray([v[1] for v in r], np.float64)
+                        sp = lons.max() - lons.min()
+                        cand[i] = (sp > 180.0 or lons.min() < -180.0
+                                   or lons.max() > 180.0)
+            # per-element None check (pd.notna is unreliable on a Series
+            # whose elements are arrays)
+            cand &= np.fromiter((r is not None for r in rings),
+                                dtype=bool, count=n)
+
+            parts_old = pdf[part_col].to_numpy(np.int64, na_value=0)
+            if not cand.any():
+                out = pdf.copy()
+                out[part_col] = parts_old * 64
+                yield out
+                continue
+
+            holes_v = pdf[holes_col].values
+            # split each candidate through the kernel; build the output
+            # as positional row-repeats + column overwrites (no per-row
+            # Series copies)
+            src, new_ring, new_holes, new_part = [], [], [], []
+            new_bbox: dict[str, list] = {c: [] for c in bbox_cols}
+            for i in range(n):
+                if not cand[i]:
+                    src.append(i)
+                    new_ring.append(rings[i])
+                    new_holes.append(holes_v[i])
+                    new_part.append(int(parts_old[i]) * 64)
+                    for c in bbox_cols:
+                        new_bbox[c].append(None)  # keep original
                     continue
-                ring_np = np.asarray([list(v) for v in ring], dtype=np.float64)
-                hv = row[holes_col]
+                ring_np = np.asarray([list(v) for v in rings[i]],
+                                     dtype=np.float64)
+                hv = holes_v[i]
                 holes_np = ([] if hv is None or len(hv) == 0
                             else [np.asarray([list(p) for p in h],
                                              dtype=np.float64) for h in hv])
-                parts = P.split_polygon_antimeridian(ring_np, holes_np)
-                if len(parts) == 1:
-                    recs.append(row)
+                pieces = P.split_polygon_antimeridian(ring_np, holes_np)
+                if len(pieces) == 1:
+                    src.append(i)
+                    new_ring.append(rings[i])
+                    new_holes.append(holes_v[i])
+                    new_part.append(int(parts_old[i]) * 64)
+                    for c in bbox_cols:
+                        new_bbox[c].append(None)
                     continue
-                for k, (pr, ph) in enumerate(parts):
-                    r2 = row.copy()
-                    r2[ring_col] = [list(map(float, v)) for v in pr]
-                    r2[holes_col] = [[list(map(float, v)) for v in h]
-                                     for h in ph]
-                    r2[part_col] = int(row[part_col]) * 64 + k
+                for k, (pr, ph) in enumerate(pieces):
+                    src.append(i)
+                    new_ring.append([list(map(float, v)) for v in pr])
+                    new_holes.append([[list(map(float, v)) for v in h]
+                                      for h in ph])
+                    new_part.append(int(parts_old[i]) * 64 + k)
                     for c, val in (("lat_min", pr[:, 0].min()),
                                    ("lat_max", pr[:, 0].max()),
                                    ("lon_min", pr[:, 1].min()),
                                    ("lon_max", pr[:, 1].max())):
-                        if c in cols:
-                            r2[c] = float(val)
-                    recs.append(r2)
-            yield pd.DataFrame(recs, columns=cols) if recs \
-                else pdf.iloc[0:0]
+                        if c in bbox_cols:
+                            new_bbox[c].append(float(val))
+
+            out = pdf.iloc[src].reset_index(drop=True)
+            out[ring_col] = _obj_col(new_ring)
+            out[holes_col] = _obj_col(new_holes)
+            out[part_col] = np.asarray(new_part, dtype=np.int64)
+            for c in bbox_cols:
+                vals = new_bbox[c]
+                mask = np.array([v is not None for v in vals])
+                if mask.any():
+                    col = out[c].to_numpy(np.float64, na_value=np.nan).copy()
+                    col[mask] = [v for v in vals if v is not None]
+                    out[c] = col
+            yield out
     return regions.mapInPandas(gen, schema)
 
 

@@ -18,7 +18,8 @@ broadcast hash join — no shuffle before the windowed aggregation, whose
 state is bounded by (windows in watermark horizon) × (polygons), not by
 input rows. The static cover must fit a broadcast (same
 BROADCAST_MAX_COVER_ROWS bound as batch); for continental vector sides,
-run the batch operator on micro-batches via foreachBatch instead.
+use foreach_batch_spatial_join, which runs the batch operator (salted
+cell-SMJ path and all) per micro-batch.
 """
 
 from __future__ import annotations
@@ -53,9 +54,17 @@ def point_stream_source(spark: SparkSession, src_dir: str,
 
 
 def region_cover(regions: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
-    """Static-side prep, computed once per query (NOT per micro-batch):
-    explode each polygon into its covering cells, carrying ring/holes/bbox
-    for the residual tests. Same cover as the batch operator."""
+    """Static-side prep: explode each polygon into its covering cells,
+    carrying ring/holes/bbox for the residual tests. Same cover as the
+    batch operator.
+
+    The result is persist()-ed (ADVICE r4): in a stream-static join Spark
+    re-executes the static subplan every micro-batch, so without the cache
+    the pandas cover UDF would re-run over ALL polygons per trigger —
+    contradicting the once-per-query cost this module's plan notes claim.
+    The first trigger pays the cover computation and fills the cache;
+    callers that tear a query down may cov.unpersist() (blocks are also
+    LRU-evicted under memory pressure, so leaking one is benign)."""
     regions = regions.coalesce(8)
     if "holes" not in regions.columns:
         regions = regions.withColumn(
@@ -64,7 +73,8 @@ def region_cover(regions: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
             .withColumn("cell", F.explode(polygon_cover_udf(
                 F.col("ring"), level, holes=F.col("holes"))))
             .select("cell", "poly_id", "ring", "holes",
-                    "lat_min", "lat_max", "lon_min", "lon_max"))
+                    "lat_min", "lat_max", "lon_min", "lon_max")
+            .persist())
 
 
 def spatial_join_stream(stream: DataFrame, regions: DataFrame, *,
@@ -103,6 +113,42 @@ def spatial_join_stream(stream: DataFrame, regions: DataFrame, *,
     # windowed_poly_stats) ride the per-batch join for free, same as the
     # batch operator's keep_point_cols
     return hit.select(point_id, "ts", "poly_id", *(keep_point_cols or []))
+
+
+def foreach_batch_spatial_join(stream: DataFrame, regions: DataFrame, *,
+                               sink, point_id: str = "point_id",
+                               level: int = DEFAULT_LEVEL,
+                               keep_point_cols: list[str] | None = None,
+                               **spatial_join_kwargs):
+    """Continental-scale fallback (VERDICT r4 #5): when the polygon
+    cover exceeds BROADCAST_MAX_COVER_ROWS, the stream-static broadcast
+    join of spatial_join_stream is off the table — instead run the full
+    BATCH operator (size guard, salted cell-SMJ path, AQE skew handling
+    and all) on each micro-batch via foreachBatch.
+
+    ``sink(result_df, batch_id)`` receives the exact (point_id, ts,
+    poly_id[, keep_point_cols]) pairs for each micro-batch — write them
+    to a table, metrics, etc. Returns the DataStreamWriter (caller adds
+    trigger/checkpoint options and .start()s it).
+
+    Latency trade, stated: the batch operator runs its cover-estimate
+    guard and (on the SMJ path) a hot-key pre-pass PER TRIGGER, so this
+    is for big micro-batches against continental vector sides, not
+    low-latency small triggers — there, shrink the vector side or raise
+    the level so the broadcast path fits."""
+    from ..operators.spatial_join import spatial_join
+
+    ts_cols = [c for c in ("ts",) if c in stream.columns]
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        out = spatial_join(batch_df, regions, point_id=point_id,
+                           level=level,
+                           keep_point_cols=ts_cols + (keep_point_cols or []),
+                           **spatial_join_kwargs)
+        cols = [point_id, *ts_cols, "poly_id", *(keep_point_cols or [])]
+        sink(out.select(*cols), batch_id)
+
+    return stream.writeStream.foreachBatch(_fb)
 
 
 def windowed_poly_stats(pairs: DataFrame, value_col: str,

@@ -231,3 +231,29 @@ def test_intersect_kernel_randomized_one_sided_oracles():
         c = rand_poly(v[0], v[1], 2.0)
         assert P.polygons_intersect(a, c), (a, c)
         assert P.polygons_intersect(c, a)
+
+
+def test_contains_hole_rim_coincidence():
+    """ADVICE r4: a B whose boundary coincides with an A-hole rim passes
+    every vertex test (B's vertices are ON the rim → counted inside A;
+    the rim's vertices are on B's boundary → not strictly interior to
+    B), yet B's interior IS the hole — polygon_contains must say False.
+    The interior-point probe (kernels/pip.py step 3b) settles it."""
+    A = _sq(0, 0, 10)
+    hole = [_sq(2, 2, 6)]
+    B = _sq(2, 2, 6)                       # exact rim coincidence
+    assert not P.polygon_contains(A, B, holes_a=hole)
+    # same rim traversed with a denser vertex sampling (midpoints added)
+    dense = []
+    for i in range(len(B)):
+        p, q = B[i], B[(i + 1) % len(B)]
+        dense.append(p)
+        dense.append((p + q) / 2.0)
+    B2 = np.array(dense, dtype=float)
+    assert not P.polygon_contains(A, B2, holes_a=hole)
+    # controls: real containment still holds with the probe active
+    assert P.polygon_contains(A, _sq(0.5, 0.5, 1.0), holes_a=hole)
+    assert P.polygon_contains(A, A, holes_a=hole, holes_b=hole)
+    # B straddling the rim (part hole, part A-area) was already caught
+    # by the hole-vertex test; stays False
+    assert not P.polygon_contains(A, _sq(1.0, 1.0, 4.0), holes_a=hole)
