@@ -21,8 +21,9 @@ from . import synth
 from .functions import geo, text
 from .kernels import rollhash
 from .operators import dedup, similarity
-from .operators.knn import knn_join
+from .operators.knn import knn_join, within_distance_join
 from .operators.spatial_join import spatial_join
+from .operators.zonal import zonal_stats
 from .operators.tiling import tile_pyramid, tile_stats
 from .session import load_table
 
@@ -1305,6 +1306,84 @@ FROM d QUALIFY rank <= 5
 """
 
 
+def q_zonal_stats(spark, sf_dir):
+    """G17 driver row (round 5, VERDICT r4 #1): per-polygon value
+    aggregation over the HOLED fixture through the full G6 join path
+    (cover → bbox prune → outer-minus-holes PIP) plus the one zonal
+    groupBy — oracled by the flat even-odd edge-parity SQL + GROUP BY."""
+    pts = customer_points(spark, sf_dir).withColumn(
+        "value", (F.col("point_id") % 97).cast("double"))
+    out = zonal_stats(pts, regions_df(spark), value_col="value",
+                      point_id="point_id", level=6)
+    return out.select(
+        F.col("poly_id").cast("long").alias("poly_id"),
+        F.col("n").cast("long").alias("n"),
+        F.round("sum", 4).alias("sum_value"),
+        F.round("mean", 4).alias("mean_value"),
+        F.col("min").alias("min_value"),
+        F.col("max").alias("max_value"))
+
+
+def _sql_zonal_stats() -> str:
+    """Same parity-twin PIP as _sql_spatial_join (fixture points stay
+    clear of boundaries), then one aggregation per polygon."""
+    edges = synth.polygons_edges_sql_values(_POLYS)
+    return f"""
+WITH pts AS (SELECT point_id, lat, lon,
+                    CAST(point_id % 97 AS DOUBLE) AS value
+             FROM ({_CUST_PTS_SQL})),
+edges AS (
+  SELECT poly_id, CAST(y1 AS DOUBLE) AS y1, CAST(x1 AS DOUBLE) AS x1,
+         CAST(y2 AS DOUBLE) AS y2, CAST(x2 AS DOUBLE) AS x2
+  FROM (VALUES {edges}) t(poly_id, y1, x1, y2, x2)),
+pairs AS (
+  SELECT p.point_id, e.poly_id
+  FROM pts p JOIN edges e
+    ON CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+            THEN p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+            ELSE false END
+  GROUP BY 1, 2 HAVING count(*) % 2 = 1)
+SELECT CAST(pr.poly_id AS BIGINT) AS poly_id,
+       count(*) AS n,
+       round(CAST(sum(p.value) AS DOUBLE), 4) AS sum_value,
+       round(avg(p.value), 4) AS mean_value,
+       min(p.value) AS min_value,
+       max(p.value) AS max_value
+FROM pairs pr JOIN pts p USING (point_id)
+GROUP BY 1
+"""
+
+
+def q_within_distance(spark, sf_dir):
+    """G18 driver row (round 5, VERDICT r4 #1): fixed-radius distance
+    join — every (supplier-derived query, customer point) pair within
+    500 km by haversine, through the one-shot cell-disk machinery —
+    oracled by the cross-join haversine filter."""
+    s = load_table(spark, sf_dir, "supplier")
+    queries = s.select(
+        F.col("s_suppkey").alias("query_id"),
+        geo.derived_lat(F.col("s_suppkey") + 500000).alias("lat"),
+        geo.derived_lon(F.col("s_suppkey") + 500000).alias("lon"))
+    pts = customer_points(spark, sf_dir).withColumnRenamed("point_id", "id")
+    out = within_distance_join(queries, pts, 500_000.0, level=4,
+                               point_id="id")
+    return out.select("query_id", "id", "dist_m")
+
+
+_SQL_WITHIN_DISTANCE = f"""
+WITH q AS (SELECT s_suppkey AS query_id,
+                  {synth.derived_lat_sql('(s_suppkey + 500000)')} AS qlat,
+                  {synth.derived_lon_sql('(s_suppkey + 500000)')} AS qlon
+           FROM supplier),
+pts AS ({_CUST_PTS_SQL}),
+d AS (SELECT q.query_id, p.point_id AS id,
+             {geo.haversine_m_sql('q.qlat', 'q.qlon', 'p.lat', 'p.lon')} AS dist
+      FROM q CROSS JOIN pts p)
+SELECT query_id, id, round(dist, 3) AS dist_m
+FROM d WHERE dist <= 500000.0
+"""
+
+
 def q_haversine_pairs(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -1832,6 +1911,8 @@ QUERIES = {
     "connected_components": q_connected_components,
     # geospatial
     "spatial_join_pip": q_spatial_join_pip,
+    "zonal_stats": q_zonal_stats,
+    "within_distance": q_within_distance,
     "knn": q_knn,
     "grid_cells": q_grid_cells,
     "tile_assign": q_tile_assign,
@@ -1865,14 +1946,32 @@ QUERIES = {
     "pivot_status": q_pivot_status,
     "percentiles": q_percentiles,
     "stats_agg": q_stats_agg,
-    "sampling": q_sampling,
     "running_sum": q_running_sum,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "outer_join": q_outer_join,
     "global_topk": q_global_topk,
-    "scalar_medley": q_scalar_medley,
     "sql_surface": q_sql_surface,
+    # Registry is capped at exactly 50 names (the driver artifact records
+    # at most 50 rows). Round 5 swapped in the G17/G18 driver rows
+    # (zonal_stats, within_distance) by retiring two redundant relational
+    # rows whose operator coverage is SUBSUMED elsewhere:
+    #   - "sampling" (R24): the deterministic hash-prefix half is the same
+    #     Column surface as exact_dedup/text_features filters; the
+    #     engine-random Bernoulli bounds check lives on as
+    #     tests/test_sql_ext.py + the retained q_sampling twin below.
+    #   - "scalar_medley" (R19/R21): every scalar it exercised is also
+    #     exercised by sql_surface (string+math medley through SQL) and
+    #     text_features; kept as a pytest-witnessed twin.
+    # Both query fns + oracles remain in this module and are pinned green
+    # by tests/test_retired_queries.py, so coverage is witnessed even
+    # though the driver artifact no longer carries the rows.
+}
+
+# retired driver rows (still oracle-checked in pytest — see registry note)
+RETIRED_QUERIES = {
+    "sampling": q_sampling,
+    "scalar_medley": q_scalar_medley,
 }
 
 ORACLES = {
@@ -1888,6 +1987,8 @@ ORACLES = {
     "text_features": _SQL_TEXT,
     "connected_components": _SQL_CONNECTED_COMPONENTS,
     "spatial_join_pip": _sql_spatial_join(),
+    "zonal_stats": _sql_zonal_stats(),
+    "within_distance": _SQL_WITHIN_DISTANCE,
     "knn": _SQL_KNN,
     "grid_cells": _SQL_GRID,
     "tile_assign": _SQL_TILES,
@@ -1918,14 +2019,17 @@ ORACLES = {
     "pivot_status": _SQL_PIVOT,
     "percentiles": _SQL_PERCENTILES,
     "stats_agg": _SQL_STATS,
-    "sampling": _SQL_SAMPLING,
     "running_sum": _SQL_RUNNING,
     "range_join": _SQL_RANGE_JOIN,
     "asof_join": _SQL_ASOF,
     "outer_join": _SQL_OUTER_JOIN,
     "global_topk": _SQL_GLOBAL_TOPK,
-    "scalar_medley": _SQL_SCALAR_MEDLEY,
     "sql_surface": _sql_sql_surface(),
+}
+
+RETIRED_ORACLES = {
+    "sampling": _SQL_SAMPLING,
+    "scalar_medley": _SQL_SCALAR_MEDLEY,
 }
 
 assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (

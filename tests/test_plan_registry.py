@@ -53,7 +53,10 @@ def test_exchanges_run_under_aqe(plans):
 
 
 def test_narrow_queries_stay_shuffle_free(plans):
-    for name in ("text_features", "scalar_medley", "normalize_latlon",
+    # scalar_medley left the 50-row registry in round 5 (subsumed by
+    # sql_surface + text_features; still oracle-checked in
+    # test_retired_queries.py)
+    for name in ("text_features", "normalize_latlon",
                  "destination_point", "dms_parse", "sql_surface",
                  "wav_features", "y4m_frames"):
         assert _exchanges(plans[name]) == 0, name
