@@ -146,9 +146,30 @@ def _tag(tag_id: int, typ: int, count: int, value: int) -> bytes:
             + np.array([count, value], dtype="<u4").tobytes())
 
 
+# GeoTIFF 1.1 (OGC 19-008r4) tag + key ids — the public georeferencing
+# vocabulary layered on TIFF 6.0 private tags
+_T_MODEL_PIXEL_SCALE = 33550    # DOUBLE[3]  (sx, sy, sz)
+_T_MODEL_TIEPOINT = 33922       # DOUBLE[6n] (I,J,K, X,Y,Z)
+_T_MODEL_TRANSFORM = 34264      # DOUBLE[16] full affine (alternative)
+_T_GEOKEY_DIR = 34735           # SHORT[4(n+1)]
+_K_MODEL_TYPE = 1024            # 2 = geographic lat/lon
+_K_RASTER_TYPE = 1025           # 1 = PixelIsArea, 2 = PixelIsPoint
+_K_GEOGRAPHIC_TYPE = 2048       # 4326 = WGS 84
+
+
 def encode_tiff(img: np.ndarray, compression: str = "lzw",
-                rows_per_strip: int | None = None) -> bytes:
-    """[h,w,3] uint8 → baseline RGB TIFF bytes (single IFD)."""
+                rows_per_strip: int | None = None,
+                georef: dict | None = None) -> bytes:
+    """[h,w,3] uint8 → baseline RGB TIFF bytes (single IFD).
+
+    ``georef`` (round 5 — GeoTIFF 1.1 writer): dict with ``lat_max``
+    (north edge of the top-left pixel), ``lon_min`` (west edge),
+    ``scale_x`` / ``scale_y`` (positive degrees per pixel east/south),
+    optional ``raster_type`` (1 PixelIsArea default, 2 PixelIsPoint) and
+    ``epsg`` (default 4326). Emits ModelTiepointTag (raster (0,0,0) →
+    model (lon_min, lat_max, 0)), ModelPixelScaleTag and a minimal
+    GeoKeyDirectory (GTModelType=geographic, GTRasterType, GeographicType)
+    — the standard north-up GeoTIFF encoding."""
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
     h, w = img.shape[:2]
     comp = 5 if compression == "lzw" else 1
@@ -159,7 +180,8 @@ def encode_tiff(img: np.ndarray, compression: str = "lzw",
     n_strips = len(strips)
 
     # layout: header(8) | bits-per-sample array(6) | strip offset/count
-    # arrays (if >1 strip) | strip data | IFD
+    # arrays (if >1 strip) | geo doubles + geokey shorts (if georef) |
+    # strip data | IFD
     off = 8
     bps_off = off
     off += 6
@@ -168,6 +190,13 @@ def encode_tiff(img: np.ndarray, compression: str = "lzw",
         off += 4 * n_strips
         sc_off = off
         off += 4 * n_strips
+    if georef is not None:
+        scale_off = off
+        off += 3 * 8
+        tie_off = off
+        off += 6 * 8
+        gk_off = off
+        off += 4 * 4 * 2       # header + 3 keys = 16 SHORTs
     strip_offsets = []
     for s in strips:
         strip_offsets.append(off)
@@ -187,12 +216,32 @@ def encode_tiff(img: np.ndarray, compression: str = "lzw",
         _tag(279, 4, n_strips,
              len(strips[0]) if n_strips == 1 else sc_off),     # StripByteCounts
     ]
+    if georef is not None:
+        # IFD entries must stay ascending by tag id (TIFF 6.0 §2)
+        entries += [
+            _tag(_T_MODEL_PIXEL_SCALE, 12, 3, scale_off),
+            _tag(_T_MODEL_TIEPOINT, 12, 6, tie_off),
+            _tag(_T_GEOKEY_DIR, 3, 16, gk_off),
+        ]
     out = bytearray()
     out += _II + np.array([ifd_off], dtype="<u4").tobytes()
     out += np.array([8, 8, 8], dtype="<u2").tobytes()
     if n_strips > 1:
         out += np.array(strip_offsets, dtype="<u4").tobytes()
         out += np.array([len(s) for s in strips], dtype="<u4").tobytes()
+    if georef is not None:
+        out += np.array([float(georef["scale_x"]), float(georef["scale_y"]),
+                         0.0], dtype="<f8").tobytes()
+        out += np.array([0.0, 0.0, 0.0, float(georef["lon_min"]),
+                         float(georef["lat_max"]), 0.0],
+                        dtype="<f8").tobytes()
+        gk = [1, 1, 0, 3,                                   # version, rev 1.0, 3 keys
+              _K_MODEL_TYPE, 0, 1, 2,                       # geographic
+              _K_RASTER_TYPE, 0, 1,
+              int(georef.get("raster_type", 1)),
+              _K_GEOGRAPHIC_TYPE, 0, 1,
+              int(georef.get("epsg", 4326))]
+        out += np.array(gk, dtype="<u2").tobytes()
     for s in strips:
         out += s
     out += np.array([len(entries)], dtype="<u2").tobytes()
@@ -202,9 +251,9 @@ def encode_tiff(img: np.ndarray, compression: str = "lzw",
     return bytes(out)
 
 
-def _read_values(buf: bytes, typ: int, count: int, value_field: int) -> list[int]:
-    sizes = {3: 2, 4: 4}
-    dt = {3: "<u2", 4: "<u4"}[typ]
+def _read_values(buf: bytes, typ: int, count: int, value_field: int) -> list:
+    sizes = {3: 2, 4: 4, 12: 8}
+    dt = {3: "<u2", 4: "<u4", 12: "<f8"}[typ]
     total = sizes[typ] * count
     if total <= 4:
         raw = np.array([value_field], dtype="<u4").tobytes()[:total]
@@ -212,9 +261,7 @@ def _read_values(buf: bytes, typ: int, count: int, value_field: int) -> list[int
     return list(np.frombuffer(buf, dtype=dt, count=count, offset=value_field))
 
 
-def decode_tiff(buf: bytes) -> np.ndarray:
-    """Baseline RGB TIFF bytes → [h,w,3] uint8 (compression 1 or 5)."""
-    buf = bytes(buf)
+def _ifd_tags(buf: bytes) -> dict[int, tuple[int, int, int]]:
     if buf[:4] != _II:
         raise ValueError("not a little-endian TIFF")
     ifd_off = int(np.frombuffer(buf, dtype="<u4", count=1, offset=4)[0])
@@ -226,6 +273,82 @@ def decode_tiff(buf: bytes) -> np.ndarray:
         count = int(np.frombuffer(buf, dtype="<u4", count=1, offset=e + 4)[0])
         val = int(np.frombuffer(buf, dtype="<u4", count=1, offset=e + 8)[0])
         tags[int(tag_id)] = (int(typ), count, val)
+    return tags
+
+
+def parse_georef(buf: bytes) -> dict | None:
+    """GeoTIFF 1.1 georeferencing of a TIFF buffer (round 5, VERDICT r4
+    #4), or None when the file carries no geo tags.
+
+    Reads ModelTiepointTag + ModelPixelScaleTag (the north-up raster→model
+    affine: model_x = X + (i - I)·sx, model_y = Y − (j - J)·sy — GeoTIFF
+    sy is positive while raster rows grow southward) or, failing those, a
+    diagonal ModelTransformationTag. GeoKeyDirectory keys GTModelType /
+    GTRasterType / GeographicType are surfaced so callers can reject
+    projected CRSs. Returns
+        {w, h, lon_min, lat_max, scale_x, scale_y,
+         lat_min, lon_max, lat_c, lon_c, model_type, raster_type, epsg}
+    where the bounds span the full pixel grid and (lat_c, lon_c) is the
+    raster center in model space."""
+    buf = bytes(buf)
+    tags = _ifd_tags(buf)
+    w = int(_read_values(buf, *tags[256])[0])
+    h = int(_read_values(buf, *tags[257])[0])
+
+    if _T_MODEL_TIEPOINT in tags and _T_MODEL_PIXEL_SCALE in tags:
+        tie = _read_values(buf, *tags[_T_MODEL_TIEPOINT])
+        sc = _read_values(buf, *tags[_T_MODEL_PIXEL_SCALE])
+        i0, j0, _, x0, y0, _ = (float(v) for v in tie[:6])
+        sx, sy = float(sc[0]), float(sc[1])
+    elif _T_MODEL_TRANSFORM in tags:
+        m = _read_values(buf, *tags[_T_MODEL_TRANSFORM])
+        if float(m[1]) != 0.0 or float(m[4]) != 0.0:
+            raise ValueError("rotational ModelTransformation unsupported "
+                             "(north-up rasters only)")
+        sx, sy = float(m[0]), -float(m[5])
+        i0 = j0 = 0.0
+        x0, y0 = float(m[3]), float(m[7])
+    else:
+        return None
+
+    lon_min = x0 - i0 * sx
+    lat_max = y0 + j0 * sy
+    out = {"w": w, "h": h, "lon_min": lon_min, "lat_max": lat_max,
+           "scale_x": sx, "scale_y": sy,
+           "lon_max": lon_min + w * sx, "lat_min": lat_max - h * sy,
+           "lon_c": lon_min + w * sx / 2.0, "lat_c": lat_max - h * sy / 2.0,
+           "model_type": None, "raster_type": None, "epsg": None}
+    if _T_GEOKEY_DIR in tags:
+        gk = [int(v) for v in _read_values(buf, *tags[_T_GEOKEY_DIR])]
+        for k in range(4, len(gk) - 3, 4):
+            key, loc, cnt, val = gk[k:k + 4]
+            if loc != 0 or cnt != 1:
+                continue  # value lives in another tag (ASCII/double params)
+            if key == _K_MODEL_TYPE:
+                out["model_type"] = val
+            elif key == _K_RASTER_TYPE:
+                out["raster_type"] = val
+            elif key == _K_GEOGRAPHIC_TYPE:
+                out["epsg"] = val
+    return out
+
+
+def pixel_latlon(georef: dict, i, j):
+    """Raster (col i, row j) → (lat, lon) under a parse_georef result —
+    vectorized (i/j may be numpy arrays). PixelIsArea convention: the
+    returned coordinate is the pixel's CENTER (i+0.5, j+0.5)."""
+    i = np.asarray(i, dtype=np.float64)
+    j = np.asarray(j, dtype=np.float64)
+    half = 0.5 if georef.get("raster_type") != 2 else 0.0
+    lon = georef["lon_min"] + (i + half) * georef["scale_x"]
+    lat = georef["lat_max"] - (j + half) * georef["scale_y"]
+    return lat, lon
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Baseline RGB TIFF bytes → [h,w,3] uint8 (compression 1 or 5)."""
+    buf = bytes(buf)
+    tags = _ifd_tags(buf)
 
     def vals(tag_id: int) -> list[int]:
         typ, count, val = tags[tag_id]

@@ -58,6 +58,13 @@ def build_args(argv=None):
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--decode", action="store_true",
                     help="decode payloads for per-tile mean-pixel stat")
+    ap.add_argument("--georef", choices=["table", "tiff"], default="table",
+                    help="position source: 'table' uses the input's lat/lon "
+                         "columns; 'tiff' reads each payload's embedded "
+                         "GeoTIFF 1.1 tags (ModelTiepoint/PixelScale + "
+                         "GeoKeys) in a narrow header-parse stage — rows "
+                         "without geographic geo tags are counted and "
+                         "dropped, never silently mis-placed")
     ap.add_argument("--verify", action="store_true",
                     help="payload invariant stage: transcode->PSNR>=40dB + "
                          "stored-vs-recomputed phash (BASELINE.json:15)")
@@ -89,7 +96,7 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
     # record the parameter fingerprint in table properties and refuse drift
     params = {"level": args.level, "zmax": args.zmax, "n_polys": args.n_polys,
               "decode": args.decode, "input": os.path.abspath(args.input),
-              "layout": 2}
+              "georef": getattr(args, "georef", "table"), "layout": 2}
     prev = table.properties()
     if args.resume and prev and prev.get("params") != params:
         raise SystemExit(f"--resume parameter mismatch: table was written with "
@@ -98,6 +105,25 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
 
     images = spark.read.parquet(args.input)
     n_images = images.count()
+
+    # --georef tiff: every downstream stage (join, tile assignment) keys on
+    # lat/lon, so swap the table columns for the payload's own GeoTIFF
+    # georeferencing here, once — a narrow header-parse map (no strip
+    # decode). Rows without geographic geo tags are dropped with a count.
+    if getattr(args, "georef", "table") == "tiff":
+        from geopy_spark.operators.images import geotiff_georef_udf
+        images = (images
+                  .drop("lat", "lon")
+                  .withColumn("_g", geotiff_georef_udf(F.col("bytes")))
+                  .withColumn("lat", F.col("_g.lat"))
+                  .withColumn("lon", F.col("_g.lon"))
+                  .drop("_g"))
+        n_georef = images.filter(F.col("lat").isNotNull()).count()
+        if n_georef < n_images:
+            print(f"georef=tiff: {n_images - n_georef}/{n_images} payloads "
+                  f"lack geographic GeoTIFF tags — dropped", flush=True)
+        images = images.filter(F.col("lat").isNotNull())
+        n_images = n_georef
 
     planned = (["join_pairs"] + (["digests", "verify"] if args.verify else [])
                + [f"z={z}" for z in range(args.zmax, -1, -1)])
