@@ -44,3 +44,44 @@ def test_features_impls_agree_on_adversarial_rows(spark):
     ]
     a, b = _both(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
     assert a == b
+
+
+def test_vectorized_batch_path_equals_loop_reference():
+    """Round 5: the numpy single-buffer batch path must equal the
+    round-4 per-row loop (itself pinned to the codegen twin above) on
+    randomized ASCII rows covering the BPE tiling edge cases
+    (contractions with/without residue, boundary apostrophes, space
+    absorption) — plus the non-ASCII fallback dispatch."""
+    import random
+    import string
+
+    from geopy_spark.functions import text as T
+    from geopy_spark.functions import textbatch as TB
+
+    langs = list(T.LANG_MARKERS)
+    lm = [T.LANG_MARKERS[lg] for lg in langs]
+    rng = random.Random(7)
+    alpha = (string.ascii_letters + string.digits
+             + " '\"!?.,;-\t\n\r\f\v" + "  the und el le de0 ")
+    cases = [
+        "", "   ", "\t\n  \r", "'", "''", "x'", "'t", "'twas brillig",
+        "a''s", "a 's", "don't stop", "we'll they're", "x'there", "1't",
+        "it's't", "'S", "DON'T", "'ren", "'ll", "'l", "x'lly", "x'll",
+        "a'd9 'm!", " '", "' ", "s'", "\v\f", "." * 150,
+    ]
+    for _ in range(400):
+        cases.append("".join(rng.choice(alpha)
+                             for _ in range(rng.randint(0, 60))))
+    for lo in range(0, len(cases), 16):
+        batch = cases[lo:lo + 16]
+        ref = TB._features_loop(batch, langs, lm)
+        got = TB.features_rows(batch, langs, lm)
+        for i in range(len(batch)):
+            for k in ("lang", "n_tokens", "n_bpe_tokens", "fp"):
+                assert ref[k][i] == got[k][i], (k, batch[i])
+            assert float(ref["quality"][i]) == float(got["quality"][i]), \
+                batch[i]
+    # non-ASCII batches dispatch to the loop path (same results trivially)
+    nb = ["héllo wörld", "the plain", "汉字 test"]
+    assert TB.features_rows(nb, langs, lm)["fp"] == \
+        TB._features_loop(nb, langs, lm)["fp"]
