@@ -67,8 +67,12 @@ def test_second_join_plan_zero_exchanges_no_cover_udf(spark, store):
         plan = plan_text(j2)
         assert "SortMergeJoin" in plan
         assert count_shuffle_exchanges(j2) == 0, plan[:3000]
-        # exactly ONE python eval span: the PIP residual (cover UDF gone)
-        assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+        # exactly ONE python eval span: the PIP residual (cover UDF gone);
+        # count detail entries, the formatted plan names each node twice
+        import re
+        assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan,
+                              re.M)) == 1, plan[:3000]
+        assert "BatchEvalPython" not in plan
 
         regions, pts = store
         plain = spatial_join(pts, regions, point_id="point_id",
