@@ -1,0 +1,158 @@
+"""TRUE raster zonal statistics (round 5, G20): aggregate decoded
+GeoTIFF PIXEL values per polygon zone — the canonical GIS raster×vector
+primitive (mean NDVI per district, mean elevation per watershed), and
+the engine's image-axis × geo-axis flagship composition.
+
+Plan shape (every stage reuses an existing audited operator):
+
+    images --header parse--> per-raster bbox rectangle rings   [G15-ish]
+    rect layer ⋈ regions  via polygon_join                     [G16]
+      (cell-cover equi-join + bbox prune + exact kernel — the size
+       guard and broadcast/SMJ discipline come for free)
+    pairs + region geometry --groupBy image--> candidate list  [small]
+    payloads ⋈ candidates by image_id, ONE decode per raster:
+      pixel-center lat/lon grid from the GeoTIFF affine, then the
+      edge-blocked PIP kernel masks pixels per candidate polygon
+      (bounded scratch even for megapixel rasters × coastline rings)
+
+Payload discipline: `bytes` crosses exactly one narrow map stage and
+never rides a shuffle with duplication — candidates are packed into ONE
+list row per image before meeting the payload. Geometry crosses the
+Arrow boundary FLATTENED (1-deep arrays + ring sizes): deeper computed
+nestings trip this Spark build's pyarrow writer (see
+operators/spatial_join._holes_transport).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import pip as P
+from .spatial_join import DEFAULT_LEVEL, polygon_join
+
+_OUT_SCHEMA = ("image_id string, poly_id long, n_px long, sum_val double, "
+               "mean_val double, min_val double, max_val double")
+
+
+def _rect_layer(bounds: DataFrame) -> DataFrame:
+    """Per-image bbox rectangles in the regions schema (rect ids are
+    xxhash64(image_id) — carried back to image_id after the join)."""
+    la0, la1 = F.col("lat_min"), F.col("lat_max")
+    lo0, lo1 = F.col("lon_min"), F.col("lon_max")
+    ring = F.array(F.array(la0, lo0), F.array(la0, lo1),
+                   F.array(la1, lo1), F.array(la1, lo0))
+    return bounds.select(
+        F.xxhash64("image_id").alias("poly_id"),
+        ring.alias("ring"),
+        "lat_min", "lat_max", "lon_min", "lon_max")
+
+
+def raster_zonal_stats(images: DataFrame, regions: DataFrame, *,
+                       level: int = DEFAULT_LEVEL,
+                       broadcast_right: bool | None = None) -> DataFrame:
+    """(image_id, poly_id, n_px, sum_val, mean_val, min_val, max_val):
+    per-(raster, zone) stats of the channel-mean pixel value over pixels
+    whose CENTER lies inside the zone (outer-minus-holes,
+    boundary-inclusive — G5 semantics exactly).
+
+    images:  (image_id, bytes) — GeoTIFF payloads with geographic geo
+    tags (rows without them are skipped, never misplaced).
+    regions: the regions schema (+ optional holes).
+    """
+    from .images import geotiff_georef_udf
+
+    bounds = (images
+              .select("image_id", geotiff_georef_udf(F.col("bytes"))
+                      .alias("g"))
+              .select("image_id", "g.lat_min", "g.lat_max",
+                      "g.lon_min", "g.lon_max")
+              .filter(F.col("lat_min").isNotNull()))
+    rects = _rect_layer(bounds)
+
+    if "holes" not in regions.columns:
+        regions = regions.withColumn(
+            "holes", F.array().cast("array<array<array<double>>>"))
+
+    pairs = polygon_join(rects, regions, level=level,
+                         predicate="intersects",
+                         broadcast_right=broadcast_right)
+    id_map = bounds.select("image_id",
+                           F.xxhash64("image_id").alias("l_id"))
+    pairs = pairs.join(F.broadcast(id_map), "l_id").select(
+        "image_id", F.col("r_id").alias("poly_id"))
+
+    # geometry flattened to 1-deep arrays for the Arrow hop; one candidate
+    # LIST row per image so the payload join duplicates nothing
+    geom = regions.select(
+        F.col("poly_id"),
+        F.flatten(F.col("ring")).alias("ring_flat"),
+        F.coalesce(F.flatten(F.flatten(F.col("holes"))),
+                   F.array().cast("array<double>")).alias("holes_flat"),
+        F.coalesce(F.transform(F.col("holes"), F.size),
+                   F.array().cast("array<int>")).alias("hole_sizes"))
+    cands = (pairs.join(geom, "poly_id")
+             .groupBy("image_id")
+             .agg(F.collect_list(F.struct(
+                 "poly_id", "ring_flat", "holes_flat", "hole_sizes"))
+                 .alias("polys")))
+
+    work = images.select("image_id", "bytes").join(cands, "image_id")
+
+    def _process(it):
+        from ..kernels import tiff as T
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    g = T.parse_georef(row.bytes)
+                    img = T.decode_tiff(row.bytes)
+                except Exception:
+                    continue
+                if g is None:
+                    continue
+                h, w = img.shape[:2]
+                vals = img.astype(np.float64).mean(axis=2).ravel()
+                jj, ii = np.meshgrid(np.arange(h), np.arange(w),
+                                     indexing="ij")
+                plat, plon = T.pixel_latlon(g, ii.ravel(), jj.ravel())
+                for poly in row.polys:
+                    ring = np.asarray(poly["ring_flat"],
+                                      dtype=np.float64).reshape(-1, 2)
+                    holes, pos = [], 0
+                    hflat = np.asarray(poly["holes_flat"],
+                                       dtype=np.float64).reshape(-1, 2)
+                    for n in poly["hole_sizes"]:
+                        holes.append(hflat[pos:pos + n])
+                        pos += n
+                    m = P.points_in_polygon(plat, plon, ring, holes=holes)
+                    if not m.any():
+                        continue
+                    v = vals[m]
+                    out.append((row.image_id, int(poly["poly_id"]),
+                                int(v.size), float(v.sum()),
+                                float(v.mean()), float(v.min()),
+                                float(v.max())))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "poly_id", "n_px", "sum_val", "mean_val",
+                "min_val", "max_val"]) if out else pd.DataFrame(
+                    {c: pd.Series(dtype=t) for c, t in (
+                        ("image_id", "object"), ("poly_id", "int64"),
+                        ("n_px", "int64"), ("sum_val", "float64"),
+                        ("mean_val", "float64"), ("min_val", "float64"),
+                        ("max_val", "float64"))})
+
+    return work.mapInPandas(_process, _OUT_SCHEMA)
+
+
+def zone_totals(per_raster: DataFrame) -> DataFrame:
+    """Cross-raster rollup: per-polygon totals over every contributing
+    raster (one bounded shuffle keyed by zone)."""
+    return (per_raster.groupBy("poly_id")
+            .agg(F.sum("n_px").alias("n_px"),
+                 F.sum("sum_val").alias("sum_val"),
+                 (F.sum("sum_val") / F.sum("n_px")).alias("mean_val"),
+                 F.min("min_val").alias("min_val"),
+                 F.max("max_val").alias("max_val")))
