@@ -15,12 +15,15 @@ Plan shape (every stage reuses an existing audited operator):
       edge-blocked PIP kernel masks pixels per candidate polygon
       (bounded scratch even for megapixel rasters × coastline rings)
 
-Payload discipline: `bytes` crosses exactly one narrow map stage and
-never rides a shuffle with duplication — candidates are packed into ONE
-list row per image before meeting the payload. Geometry crosses the
-Arrow boundary FLATTENED (1-deep arrays + ring sizes): deeper computed
-nestings trip this Spark build's pyarrow writer (see
-operators/spatial_join._holes_transport).
+Payload discipline: candidates are packed into ONE list row per image
+before meeting the payload, so `bytes` is never DUPLICATED per
+candidate polygon. When the candidate side is small it broadcasts (AQE)
+and bytes never shuffle at all; past that, the image_id equi-join moves
+each payload once — at 10¹²-image scale, store the images table
+bucketed by image_id (sources/bucketed) and that join is exchange-free
+on the payload side too. Geometry crosses the Arrow boundary FLATTENED
+(1-deep arrays + ring sizes): deeper computed nestings trip this Spark
+build's pyarrow writer (see operators/spatial_join._holes_transport).
 """
 
 from __future__ import annotations

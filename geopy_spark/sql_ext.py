@@ -138,6 +138,34 @@ def install_sql_functions(spark: SparkSession) -> list:
                              c.to_numpy(), d.to_numpy())
         return pd.Series(dist)
 
+    from .kernels import geohash as GH
+
+    @F.pandas_udf("string", PandasUDFType.SCALAR)
+    def _geohash_encode(la: pd.Series, lo: pd.Series,
+                        prec: pd.Series) -> pd.Series:
+        import numpy as np
+        la_np, lo_np = la.to_numpy(np.float64), lo.to_numpy(np.float64)
+        pr_np = prec.to_numpy()
+        out = np.empty(len(la_np), dtype=object)
+        for p in np.unique(pr_np):
+            m = pr_np == p
+            out[m] = GH.encode(la_np[m], lo_np[m], int(p))
+        return pd.Series(out)
+
+    @F.pandas_udf("double", PandasUDFType.SCALAR)
+    def _geohash_lat(gh: pd.Series) -> pd.Series:
+        lat, _ = GH.decode(gh.to_numpy(dtype=str))
+        return pd.Series(lat)
+
+    @F.pandas_udf("double", PandasUDFType.SCALAR)
+    def _geohash_lon(gh: pd.Series) -> pd.Series:
+        _, lon = GH.decode(gh.to_numpy(dtype=str))
+        return pd.Series(lon)
+
     spark.udf.register("cell_encode", _cell_encode)
     spark.udf.register("geodesic_m", _geodesic)
-    return names + ["cell_encode", "geodesic_m"]
+    spark.udf.register("geohash_encode", _geohash_encode)
+    spark.udf.register("geohash_lat", _geohash_lat)
+    spark.udf.register("geohash_lon", _geohash_lon)
+    return names + ["cell_encode", "geodesic_m", "geohash_encode",
+                    "geohash_lat", "geohash_lon"]

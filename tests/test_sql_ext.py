@@ -152,3 +152,14 @@ def test_connect_fallback_registers_and_executes(spark, monkeypatch):
     import numpy as np
     assert row.cell == int(K.cell_encode(np.array([10.5]),
                                          np.array([-20.25]), 8)[0])
+
+
+def test_geohash_sql_surface(spark, installed):
+    assert {"geohash_encode", "geohash_lat", "geohash_lon"} <= installed
+    rows = spark.sql("""
+        SELECT geohash_encode(57.64911D, 10.40744D, 11) AS gh,
+               geohash_lat(geohash_encode(42.6D, -5.6D, 9)) AS la,
+               geohash_lon(geohash_encode(42.6D, -5.6D, 9)) AS lo
+    """).first()
+    assert rows.gh == "u4pruydqqvj"
+    assert abs(rows.la - 42.6) < 1e-3 and abs(rows.lo + 5.6) < 1e-3
