@@ -345,6 +345,26 @@ def pixel_latlon(georef: dict, i, j):
     return lat, lon
 
 
+def _strips_raw(buf: bytes, tags, w: int, h: int,
+                bytes_per_px: int) -> bytes:
+    def vals(tag_id: int) -> list[int]:
+        typ, count, val = tags[tag_id]
+        return _read_values(buf, typ, count, val)
+    comp = vals(259)[0]
+    rps = vals(278)[0] if 278 in tags else h
+    raw = bytearray()
+    for i, (o, c) in enumerate(zip(vals(273), vals(279))):
+        rows = min(rps, h - i * rps)
+        strip = buf[o:o + c]
+        if comp == 5:
+            raw += lzw_decode(strip, expect=rows * w * bytes_per_px)
+        elif comp == 1:
+            raw += strip
+        else:
+            raise ValueError(f"unsupported compression {comp}")
+    return bytes(raw)
+
+
 def decode_tiff(buf: bytes) -> np.ndarray:
     """Baseline RGB TIFF bytes → [h,w,3] uint8 (compression 1 or 5)."""
     buf = bytes(buf)
@@ -356,21 +376,100 @@ def decode_tiff(buf: bytes) -> np.ndarray:
 
     w = vals(256)[0]
     h = vals(257)[0]
-    comp = vals(259)[0]
     if vals(277)[0] != 3 or vals(262)[0] != 2:
         raise ValueError("only baseline RGB supported")
-    rps = vals(278)[0] if 278 in tags else h
-    offsets = vals(273)
-    counts = vals(279)
-    raw = bytearray()
-    for i, (o, c) in enumerate(zip(offsets, counts)):
-        rows = min(rps, h - i * rps)
-        strip = buf[o:o + c]
-        if comp == 5:
-            raw += lzw_decode(strip, expect=rows * w * 3)
-        elif comp == 1:
-            raw += strip
-        else:
-            raise ValueError(f"unsupported compression {comp}")
-    return np.frombuffer(bytes(raw), dtype=np.uint8,
+    raw = _strips_raw(buf, tags, w, h, 3)
+    return np.frombuffer(raw, dtype=np.uint8,
                          count=h * w * 3).reshape(h, w, 3)
+
+
+def decode_tiff_band(buf: bytes) -> np.ndarray:
+    """Single-band TIFF bytes → [h,w] float64 of RAW band values
+    (round 5): baseline grayscale, Photometric 0/1 (MinIsWhite inverted
+    to value-increases-with-brightness, per TIFF 6.0 §4), SamplesPerPixel
+    1, BitsPerSample 8 or 16 — the DEM/NDVI-style rasters zonal
+    statistics aggregate. RGB payloads raise (callers fall back to
+    decode_tiff + a channel reduce)."""
+    buf = bytes(buf)
+    tags = _ifd_tags(buf)
+
+    def vals(tag_id: int) -> list[int]:
+        typ, count, val = tags[tag_id]
+        return _read_values(buf, typ, count, val)
+
+    w = vals(256)[0]
+    h = vals(257)[0]
+    spp = vals(277)[0] if 277 in tags else 1
+    photo = vals(262)[0]
+    bps = vals(258)[0] if 258 in tags else 8
+    if spp != 1 or photo not in (0, 1):
+        raise ValueError("not a single-band grayscale TIFF")
+    if bps not in (8, 16):
+        raise ValueError(f"unsupported grayscale BitsPerSample {bps}")
+    raw = _strips_raw(buf, tags, w, h, bps // 8)
+    arr = np.frombuffer(raw, dtype="<u2" if bps == 16 else np.uint8,
+                        count=h * w).reshape(h, w).astype(np.float64)
+    if photo == 0:                       # WhiteIsZero: invert
+        arr = float((1 << bps) - 1) - arr
+    return arr
+
+
+def encode_tiff_band(band: np.ndarray, compression: str = "none",
+                     georef: dict | None = None) -> bytes:
+    """[h,w] uint8/uint16 → single-band grayscale TIFF (Photometric
+    BlackIsZero), optional GeoTIFF tags — the writer twin of
+    decode_tiff_band for tests and re-emission of derived rasters."""
+    band = np.asarray(band)
+    assert band.ndim == 2 and band.dtype in (np.uint8, np.uint16)
+    h, w = band.shape
+    bps = 16 if band.dtype == np.uint16 else 8
+    data = band.astype("<u2").tobytes() if bps == 16 else band.tobytes()
+    comp = 5 if compression == "lzw" else 1
+    payload = lzw_encode(data) if comp == 5 else data
+
+    off = 8
+    if georef is not None:
+        scale_off = off
+        off += 3 * 8
+        tie_off = off
+        off += 6 * 8
+        gk_off = off
+        off += 4 * 4 * 2
+    data_off = off
+    off += len(payload)
+    ifd_off = off
+
+    entries = [
+        _tag(256, 4, 1, w), _tag(257, 4, 1, h),
+        _tag(258, 3, 1, bps),
+        _tag(259, 3, 1, comp),
+        _tag(262, 3, 1, 1),                  # BlackIsZero
+        _tag(273, 4, 1, data_off),
+        _tag(277, 3, 1, 1),
+        _tag(278, 4, 1, h),
+        _tag(279, 4, 1, len(payload)),
+    ]
+    if georef is not None:
+        entries += [_tag(_T_MODEL_PIXEL_SCALE, 12, 3, scale_off),
+                    _tag(_T_MODEL_TIEPOINT, 12, 6, tie_off),
+                    _tag(_T_GEOKEY_DIR, 3, 16, gk_off)]
+    out = bytearray()
+    out += _II + np.array([ifd_off], dtype="<u4").tobytes()
+    if georef is not None:
+        out += np.array([float(georef["scale_x"]), float(georef["scale_y"]),
+                         0.0], dtype="<f8").tobytes()
+        out += np.array([0.0, 0.0, 0.0, float(georef["lon_min"]),
+                         float(georef["lat_max"]), 0.0],
+                        dtype="<f8").tobytes()
+        out += np.array([1, 1, 0, 3, _K_MODEL_TYPE, 0, 1, 2,
+                         _K_RASTER_TYPE, 0, 1,
+                         int(georef.get("raster_type", 1)),
+                         _K_GEOGRAPHIC_TYPE, 0, 1,
+                         int(georef.get("epsg", 4326))],
+                        dtype="<u2").tobytes()
+    out += payload
+    out += np.array([len(entries)], dtype="<u2").tobytes()
+    for e in entries:
+        out += e
+    out += np.array([0], dtype="<u4").tobytes()
+    return bytes(out)

@@ -111,13 +111,19 @@ def raster_zonal_stats(images: DataFrame, regions: DataFrame, *,
             for row in pdf.itertuples(index=False):
                 try:
                     g = T.parse_georef(row.bytes)
-                    img = T.decode_tiff(row.bytes)
+                    # single-band rasters (DEM/NDVI) aggregate RAW band
+                    # values; RGB payloads reduce to the channel mean
+                    try:
+                        band = T.decode_tiff_band(row.bytes)
+                    except ValueError:
+                        band = T.decode_tiff(row.bytes) \
+                            .astype(np.float64).mean(axis=2)
                 except Exception:
                     continue
                 if g is None:
                     continue
-                h, w = img.shape[:2]
-                vals = img.astype(np.float64).mean(axis=2).ravel()
+                h, w = band.shape
+                vals = band.astype(np.float64).ravel()
                 jj, ii = np.meshgrid(np.arange(h), np.arange(w),
                                      indexing="ij")
                 plat, plon = T.pixel_latlon(g, ii.ravel(), jj.ravel())

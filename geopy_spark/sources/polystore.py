@@ -53,6 +53,20 @@ def write_region_cover_bucketed(regions: DataFrame, table_fqn: str, *,
                F.col("ring"), level, holes=F.col("holes"))))
            .select(*COVER_COLS))
     write_bucketed(cov, table_fqn, "cell", n_buckets=n_buckets)
+    # record the cover level so later ad-hoc joins can refuse a mismatch
+    # (joining level-7 point cells against a level-6 cover silently
+    # returns nothing — fail loudly instead)
+    spark = regions.sparkSession
+    spark.sql(f"ALTER TABLE {table_fqn} SET TBLPROPERTIES "
+              f"('geopy.cover_level' = '{int(level)}')")
+
+
+def cover_level(spark: SparkSession, table_fqn: str) -> int | None:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_fqn}").collect()
+    for r in rows:
+        if r.key == "geopy.cover_level":
+            return int(r.value)
+    return None
 
 
 def write_points_bucketed(points: DataFrame, table_fqn: str, *,
@@ -96,7 +110,14 @@ def spatial_join_against_cover(points: DataFrame, spark: SparkSession,
     """Ad-hoc (non-bucketed) points against the stored cover: the points
     side pays ONE hash Exchange to align with the cover's bucketing; the
     cover side still reads pre-bucketed, shuffle- and UDF-free. ``level``
-    must equal the level the cover was written at."""
+    must equal the level the cover was written at — checked against the
+    table's recorded ``geopy.cover_level`` property (a mismatch would
+    silently join nothing)."""
+    stored = cover_level(spark, cover_fqn)
+    if stored is not None and stored != level:
+        raise ValueError(
+            f"{cover_fqn} was written at cover level {stored}, "
+            f"join requested level {level}")
     pts = points.withColumn(
         "cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
     cov = spark.table(cover_fqn)

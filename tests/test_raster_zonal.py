@@ -110,3 +110,24 @@ def test_raster_zonal_matches_planar_brute_force(spark):
         n = sum(v[0] for k, v in want.items() if k[1] == pid)
         s = sum(v[1] for k, v in want.items() if k[1] == pid)
         assert tot[pid][0] == n and tot[pid][1] == pytest.approx(s)
+
+
+def test_single_band_raster_aggregates_raw_values(spark):
+    """A 16-bit DEM-style single-band GeoTIFF must aggregate RAW band
+    values (not an RGB reduce): a zone covering the whole raster gets
+    exactly the band's sum/mean/min/max."""
+    band = (np.arange(256, dtype=np.uint16) * 257).reshape(16, 16)
+    g = {"lat_max": 52.0, "lon_min": 10.0, "scale_x": SCALE,
+         "scale_y": SCALE}
+    buf = T.encode_tiff_band(band, georef=g)
+    images = spark.createDataFrame([("dem", bytearray(buf))],
+                                   "image_id string, bytes binary")
+    regions = spark.createDataFrame(
+        [_rect(7, 51.0, 53.0, 9.0, 11.0)], schema=_REGIONS_SCHEMA)
+    rows = raster_zonal_stats(images, regions, level=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    v = band.astype(np.float64)
+    assert (r.n_px, r.sum_val, r.min_val, r.max_val) == \
+        (256, v.sum(), v.min(), v.max())
+    assert r.mean_val == pytest.approx(v.mean())

@@ -165,3 +165,29 @@ def test_geotiff_pipeline_tile_assignment(spark, tmp_path):
         t = _merc_tile(lat_c, lon_c, zmax)
         want[t] = want.get(t, 0) + 1
     assert got == want
+
+
+def test_grayscale_band_roundtrip_8_and_16_bit():
+    """Single-band decode (round 5): raw DEM-style values survive the
+    roundtrip exactly at 8 and 16 bits, both compressions; MinIsWhite
+    inverts; RGB payloads refuse the band path."""
+    rng = np.random.default_rng(11)
+    for dtype, lim in ((np.uint8, 256), (np.uint16, 65536)):
+        band = rng.integers(0, lim, (13, 17)).astype(dtype)
+        for comp in ("none", "lzw"):
+            buf = Tf.encode_tiff_band(band, compression=comp)
+            got = Tf.decode_tiff_band(buf)
+            assert got.dtype == np.float64
+            assert np.array_equal(got, band.astype(np.float64)), (dtype, comp)
+    with pytest.raises(ValueError):
+        Tf.decode_tiff_band(Tf.encode_tiff(_img(4, 4)))  # RGB refuses
+
+
+def test_grayscale_band_georef():
+    band = (np.arange(64, dtype=np.uint16) * 100).reshape(8, 8)
+    g = {"lat_max": 10.0, "lon_min": 20.0, "scale_x": 0.1, "scale_y": 0.1}
+    buf = Tf.encode_tiff_band(band, georef=g)
+    gr = Tf.parse_georef(buf)
+    assert gr["lat_max"] == 10.0 and gr["lon_min"] == 20.0
+    assert np.array_equal(Tf.decode_tiff_band(buf),
+                          band.astype(np.float64))
