@@ -208,8 +208,61 @@ def main() -> None:
         t0 = time.monotonic()
         im_rows = imq(spark, sf_dir).count()
         im_runs.append(round(time.monotonic() - t0, 3))
+    # round-5: measured walls for the spatial operators added in rounds
+    # 4-5 (NOT in the headline total, which stays the round-1 query set
+    # for comparability): G17 zonal, G18 within-distance, G16 polygon
+    # join, G20 raster-free measures — each median of 3 warm runs over
+    # the same lineitem-derived points / holed fixture
+    from geopy_spark.operators.knn import within_distance_join
+    from geopy_spark.operators.measures import region_measures
+    from geopy_spark.operators.spatial_join import polygon_join
+    from geopy_spark.operators.zonal import zonal_stats
+
+    regions_holed = spark.createDataFrame(
+        synth.polygons_pdf(synth.oracle_polygons_holed(48, seed=7)),
+        schema=_REGIONS_SCHEMA)
+    pts_v = lineitem_points(spark, sf_dir).withColumn(
+        "value", (F.col("point_id") % 97).cast("double"))
+    qs = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("query_id"),
+        geo.derived_lat(F.col("s_suppkey") + 500000).alias("lat"),
+        geo.derived_lon(F.col("s_suppkey") + 500000).alias("lon"))
+    pts_id = lineitem_points(spark, sf_dir).withColumnRenamed(
+        "point_id", "id")
+
+    def _zonal():
+        return zonal_stats(pts_v, regions_holed, value_col="value",
+                           point_id="point_id", level=7,
+                           broadcast_regions=True).count()
+
+    def _withind():
+        return within_distance_join(qs, pts_id, 100_000.0, level=6,
+                                    point_id="id").count()
+
+    def _polyjoin():
+        right = spark.createDataFrame(
+            synth.polygons_pdf(synth.oracle_polygons(48, seed=99)),
+            schema=_REGIONS_SCHEMA)
+        return polygon_join(regions_holed, right, level=6).count()
+
+    def _measures():
+        return region_measures(regions_holed).count()
+
+    spatial_ops = {}
+    for nm, fn in (("zonal_stats", _zonal), ("within_distance", _withind),
+                   ("polygon_join", _polyjoin), ("measures", _measures)):
+        n_rows = fn()  # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn()
+            runs.append(round(time.monotonic() - t0, 3))
+        spatial_ops[nm] = {"median_sec": round(statistics.median(runs), 3),
+                           "runs": runs, "rows": int(n_rows)}
+
     extras = {"image_neardup_sec": round(statistics.median(im_runs), 3),
               "image_neardup_rows": int(im_rows),
+              "spatial_ops": spatial_ops,
               # round-4: measured ceiling for the from-scratch jpeg/gif
               # entropy decoders as an ingest stage (images/s at local[8];
               # tools/bench_image_ingest.py) — the number behind the
@@ -257,6 +310,8 @@ def main() -> None:
         "counts": counts,
         "skew_medians": {k: v["median_sec"] for k, v in skew.items()},
         "image_neardup_sec": extras["image_neardup_sec"],
+        "spatial_ops_sec": {k: v["median_sec"]
+                            for k, v in spatial_ops.items()},
         "two_level_scaling": ({
             k: scaling.get(k)
             for k in ("scaling_efficiency", "target",

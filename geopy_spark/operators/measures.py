@@ -44,6 +44,46 @@ def measures_udf(ring: Column, holes: Column | None = None) -> Column:
     return _m(ring, *_holes_transport(holes))
 
 
+def buffer_points(points: DataFrame, radius_m: float, *,
+                  n_vertices: int = 64, point_id: str = "point_id",
+                  lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """ST_Buffer for points: each point becomes an ``n_vertices``-gon
+    inscribed in its geodesic circle (vertices EXACTLY radius_m away via
+    the spherical forward problem), in the regions schema — so "within R
+    of these sites" questions can run through the polygon machinery
+    (G6/G16/zonal). Inscribed ⇒ a conservative under-cover: containment
+    in the buffer implies distance < radius_m; points within
+    radius_m·cos(π/n) of the site are always inside (chord sagitta
+    bound). For the EXACT fixed-radius join use
+    operators/knn.within_distance_join — a pytest pins the two against
+    each other through that sandwich."""
+    from ..kernels.geodesy import destination_point
+
+    @F.pandas_udf("array<array<double>>")
+    def _ring(la: pd.Series, lo: pd.Series) -> pd.Series:
+        bear = np.arange(0.0, 360.0, 360.0 / n_vertices)
+        out = []
+        for i in range(len(la)):
+            ry, rx = destination_point(
+                np.full(n_vertices, la.iloc[i]),
+                np.full(n_vertices, lo.iloc[i]),
+                bear, np.full(n_vertices, float(radius_m)))
+            out.append([[float(a), float(b)] for a, b in zip(ry, rx)])
+        return pd.Series(out)
+
+    ring = _ring(F.col(lat), F.col(lon))
+    df = points.select(F.col(point_id).alias("poly_id"),
+                       ring.alias("ring"))
+    lats = F.transform(F.col("ring"), lambda v: v.getItem(0))
+    lons = F.transform(F.col("ring"), lambda v: v.getItem(1))
+    return df.select(
+        "poly_id", "ring",
+        F.array_min(lats).alias("lat_min"),
+        F.array_max(lats).alias("lat_max"),
+        F.array_min(lons).alias("lon_min"),
+        F.array_max(lons).alias("lon_max"))
+
+
 def region_measures(regions: DataFrame) -> DataFrame:
     """(poly_id, area_m2, perimeter_m, centroid_lat, centroid_lon) for a
     regions-schema frame (holes honored when the column is present)."""

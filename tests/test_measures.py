@@ -123,3 +123,71 @@ def test_operator_fixture_area_vs_grid_sample_and_sql_perimeter(spark):
         GROUP BY poly_id""").fetchall())
     for pid, p in want.items():
         assert got[pid].perimeter_m == pytest.approx(p, rel=1e-9), pid
+
+
+def test_cell_rectangles_have_exact_zone_area():
+    """The spherical-excess line integral is EXACT on axis-aligned
+    rectangles (meridian edges contribute 0; parallel edges telescope to
+    R²·Δλ·(sinφ1−sinφ0) — the closed-form spherical zone area). Cells
+    are rectangles, so measures ∘ cell-bounds equals the analytic cell
+    area to float precision — a cross-kernel identity."""
+    from geopy_spark.kernels import cells as K
+
+    lats = np.array([-72.3, -10.0, 0.0, 33.3, 81.0])
+    lons = np.array([-170.0, -5.0, 0.1, 44.4, 179.0])
+    for level in (2, 5, 9):
+        cells = K.cell_encode(lats, lons, level)
+        clat, clon = K.cell_center(cells)
+        half = K.cell_size_deg(level) / 2.0
+        for cy, cx in zip(clat, clon):
+            la0, la1 = cy - half, cy + half
+            lo0, lo1 = cx - 2 * half, cx + 2 * half
+            ring = np.array([[la0, lo0], [la0, lo1], [la1, lo1],
+                             [la1, lo0]])
+            exact = (EARTH_RADIUS_M ** 2 * math.radians(lo1 - lo0)
+                     * (math.sin(math.radians(la1))
+                        - math.sin(math.radians(la0))))
+            assert M.polygon_area_m2(ring) == pytest.approx(exact,
+                                                            rel=1e-12)
+
+
+def test_buffer_join_sandwiches_within_distance(spark):
+    """Cross-operator consistency: buffered-polygon containment (G19
+    buffer → G6 join) must sandwich the exact fixed-radius join (G18):
+    every buffer pair is within R (inscribed polygon ⊂ circle), and
+    every pair within R·cos(π/n) is found by the buffer path."""
+    import math as _m
+
+    from geopy_spark.functions import geo
+    from geopy_spark.operators.knn import within_distance_join
+    from geopy_spark.operators.measures import buffer_points
+    from geopy_spark.operators.spatial_join import spatial_join
+
+    R, NV = 300_000.0, 64
+    sites = spark.range(0, 12).select(
+        F.col("id").alias("point_id"),
+        geo.derived_lat(F.col("id") + 77).alias("lat"),
+        geo.derived_lon(F.col("id") + 77).alias("lon"))
+    pts = spark.range(0, 800).select(
+        F.col("id").alias("point_id"),
+        geo.derived_lat(F.col("id")).alias("lat"),
+        geo.derived_lon(F.col("id")).alias("lon"))
+
+    buf = buffer_points(sites, R, n_vertices=NV)
+    via_poly = {(r.point_id, r.poly_id)
+                for r in spatial_join(pts, buf, point_id="point_id",
+                                      level=6,
+                                      broadcast_regions=True).collect()}
+    qs = sites.withColumnRenamed("point_id", "query_id")
+    exact = {(r.id, r.query_id): r.dist_m
+             for r in within_distance_join(
+                 qs, pts.withColumnRenamed("point_id", "id"), R,
+                 level=4, point_id="id").collect()}
+
+    # buffer pairs ⊆ exact pairs (inscribed polygon is inside the circle)
+    assert via_poly <= set(exact)
+    # pairs safely inside the inscribed polygon's inradius are all found
+    inradius = R * _m.cos(_m.pi / NV)
+    must_have = {k for k, d in exact.items() if d <= inradius * 0.999}
+    assert must_have <= via_poly
+    assert len(via_poly) > 0
