@@ -1154,13 +1154,20 @@ def q_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
-def _ivf_oracle_centroids(sf_dir: str = "/root/testdata/sf0.01"):
+def _ivf_oracle_centroids(sf_dir: str | None = None):
     """Replay q_ivf_topk's centroid training for the oracle generator:
-    same lowest-256-id sample (pyarrow read of the sf0.01 table the
-    driver compares at), same seeded Lloyd's. Falls back to the untrained
-    seeded-random centroids when the testdata is unreachable (keeps
-    module import safe in data-less environments; the gate never runs
-    there)."""
+    same lowest-256-id sample (pyarrow read of the SAME table the
+    comparison runs at — the driver's sf0.01 by default; verify_local
+    exports SPARK_GRAFT_VERIFY_SF_DIR when checking other scales, since
+    the Spark side trains on its actual sf_dir and the oracle literals
+    must replay the matching sample), same seeded Lloyd's. Falls back to
+    the untrained seeded-random centroids when the testdata is
+    unreachable (keeps module import safe in data-less environments; the
+    gate never runs there)."""
+    import os
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR",
+                                "/root/testdata/sf0.01")
     try:
         import numpy as np
         import pyarrow.parquet as pq
