@@ -56,7 +56,14 @@ def buffer_points(points: DataFrame, radius_m: float, *,
     radius_m·cos(π/n) of the site are always inside (chord sagitta
     bound). For the EXACT fixed-radius join use
     operators/knn.within_distance_join — a pytest pins the two against
-    each other through that sandwich."""
+    each other through that sandwich.
+
+    Dateline/pole caveat: a buffer whose circle crosses ±180 (or wraps a
+    pole) comes out with jump longitudes, like any other wrap-crossing
+    ring — run sources/geojson.split_antimeridian over the result before
+    joining, exactly as for ingested Pacific layers; polar caps (site
+    within radius of a pole) are not representable as a single lat/lon
+    ring and should use the G18 exact join instead."""
     from ..kernels.geodesy import destination_point
 
     @F.pandas_udf("array<array<double>>")
