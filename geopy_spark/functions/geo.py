@@ -48,6 +48,50 @@ def geodesic_m_udf(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Co
     return _geo(lat1, lon1, lat2, lon2)
 
 
+def initial_bearing_deg(lat1: Column, lon1: Column,
+                        lat2: Column, lon2: Column) -> Column:
+    """Initial great-circle bearing (forward azimuth) from point 1 to
+    point 2, degrees in [0, 360) — pure Column trig (round 5, the
+    navigation companion of G12/G14): θ = atan2(sinΔλ·cosφ₂,
+    cosφ₁·sinφ₂ − sinφ₁·cosφ₂·cosΔλ)."""
+    la1, lo1 = F.radians(lat1), F.radians(lon1)
+    la2, lo2 = F.radians(lat2), F.radians(lon2)
+    dlon = lo2 - lo1
+    th = F.atan2(F.sin(dlon) * F.cos(la2),
+                 F.cos(la1) * F.sin(la2)
+                 - F.sin(la1) * F.cos(la2) * F.cos(dlon))
+    return F.pmod(F.degrees(th), F.lit(360.0))
+
+
+def destination(lat: Column, lon: Column, bearing_deg: Column,
+                dist_m: Column) -> tuple[Column, Column]:
+    """Spherical forward problem as Column trig (the G14 math, exposed
+    as a reusable pair instead of inline query algebra): returns
+    (dest_lat, dest_lon) Columns."""
+    br = F.radians(bearing_deg)
+    d = dist_m / F.lit(EARTH_RADIUS_M)
+    la1, lo1 = F.radians(lat), F.radians(lon)
+    la2 = F.asin(F.sin(la1) * F.cos(d) + F.cos(la1) * F.sin(d) * F.cos(br))
+    lo2 = lo1 + F.atan2(F.sin(br) * F.sin(d) * F.cos(la1),
+                        F.cos(d) - F.sin(la1) * F.sin(la2))
+    return F.degrees(la2), normalize_lon(F.degrees(lo2))
+
+
+def great_circle_point(lat1: Column, lon1: Column, lat2: Column,
+                       lon2: Column, f) -> tuple[Column, Column]:
+    """Point a fraction ``f`` ∈ [0,1] of the way along the great circle
+    from 1 to 2 (route interpolation / track densification): follow the
+    INITIAL bearing for f × the great-circle distance — on a sphere that
+    traces exactly the connecting great circle, so this composes the two
+    audited primitives instead of introducing new trig. Antipodal pairs
+    (bearing undefined) are the caller's degeneracy, as in every slerp."""
+    br = initial_bearing_deg(lat1, lon1, lat2, lon2)
+    d = haversine_m(lat1, lon1, lat2, lon2) * F.lit(float(f)) \
+        if not isinstance(f, Column) else haversine_m(lat1, lon1,
+                                                      lat2, lon2) * f
+    return destination(lat1, lon1, br, d)
+
+
 def normalize_lon(lon: Column) -> Column:
     """Wrap longitude to [-180, 180) — F.pmod column math (G13)."""
     return F.pmod(lon + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)

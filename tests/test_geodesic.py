@@ -59,3 +59,58 @@ def test_geodesic_udf_matches_kernel(spark):
     assert np.allclose(out.ell_m.to_numpy(), ref, rtol=0, atol=1e-6)
     rel = np.abs(out.ell_m - out.sph_m) / out.sph_m
     assert (rel < 0.006).all()
+
+
+def test_bearing_destination_identity_and_interpolation(spark):
+    """Round 5 navigation functions: (a) goldens — due north is bearing
+    0, due east from the equator is 90; (b) the forward/inverse identity
+    destination(a, bearing(a,b), haversine(a,b)) == b on random
+    non-degenerate pairs; (c) great_circle_point: endpoints exact,
+    intermediate distances proportional to f."""
+    from pyspark.sql import functions as F
+    from geopy_spark.functions import geo
+
+    rows = [(i,
+             float(-60 + (i * 37) % 120),          # lat1 away from poles
+             float(-170 + (i * 73) % 340),
+             float(-60 + (i * 53 + 11) % 120),
+             float(-170 + (i * 97 + 29) % 340))
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "id long, lat1 double, lon1 double, lat2 double, lon2 double")
+    # drop near-identical and near-antipodal pairs (bearing undefined)
+    d = geo.haversine_m(F.col("lat1"), F.col("lon1"),
+                        F.col("lat2"), F.col("lon2"))
+    df = df.filter((d > 1000.0) & (d < 19_000_000.0))
+
+    br = geo.initial_bearing_deg(F.col("lat1"), F.col("lon1"),
+                                 F.col("lat2"), F.col("lon2"))
+    dla, dlo = geo.destination(F.col("lat1"), F.col("lon1"), br, d)
+    chk = df.select(
+        (F.abs(dla - F.col("lat2")) < 1e-6).alias("lat_ok"),
+        (F.abs(geo.normalize_lon(dlo - F.col("lon2"))) < 1e-6).alias("lon_ok"))
+    bad = chk.filter(~F.col("lat_ok") | ~F.col("lon_ok")).count()
+    assert bad == 0 and df.count() > 150
+
+    g = spark.sql("SELECT 1").select(
+        geo.initial_bearing_deg(F.lit(0.0), F.lit(0.0),
+                                F.lit(10.0), F.lit(0.0)).alias("north"),
+        geo.initial_bearing_deg(F.lit(0.0), F.lit(0.0),
+                                F.lit(0.0), F.lit(10.0)).alias("east"),
+        geo.initial_bearing_deg(F.lit(0.0), F.lit(0.0),
+                                F.lit(-10.0), F.lit(0.0)).alias("south"),
+    ).first()
+    assert abs(g.north - 0.0) < 1e-9 and abs(g.east - 90.0) < 1e-9
+    assert abs(g.south - 180.0) < 1e-9
+
+    for f, rel in ((0.0, 0.0), (0.25, 0.25), (0.5, 0.5), (1.0, 1.0)):
+        pla, plo = geo.great_circle_point(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"), f)
+        got = df.select(
+            (geo.haversine_m(F.col("lat1"), F.col("lon1"), pla, plo)
+             / d).alias("frac"),
+            (F.abs(pla - F.col("lat2")) + F.abs(geo.normalize_lon(
+                plo - F.col("lon2")))).alias("enddiff"))
+        assert got.filter(F.abs(F.col("frac") - rel) > 1e-9).count() == 0
+        if f == 1.0:
+            assert got.filter(F.col("enddiff") > 1e-5).count() == 0
