@@ -282,6 +282,10 @@ def features_rows(texts: list, langs: list, lang_markers: list) -> dict:
     if len(blob) != joined_len or joined_len == len(texts) - 1:
         # non-ASCII batch, or every row empty (degenerate buffer)
         return _features_loop(texts, langs, lang_markers)
+    # NUL bytes inside a document would collide with the row separator
+    # (review r5): the buffer must hold EXACTLY n_rows-1 zero bytes
+    if blob.count(b"\x00") != len(texts) - 1:
+        return _features_loop(texts, langs, lang_markers)
     return _features_ascii(texts, blob, langs, lang_markers)
 
 

@@ -25,6 +25,11 @@ def encode(lat, lon, precision: int = 9) -> np.ndarray:
     """lat/lon arrays → geohash strings of ``precision`` chars."""
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
+    if not (np.isfinite(lat).all() and np.isfinite(lon).all()):
+        # NaN compares False against every midpoint and would silently
+        # encode as the valid-looking '000…' South-Pole cell — fail loud
+        # (the Column wrapper masks nulls to null BEFORE calling this)
+        raise ValueError("geohash encode requires finite lat/lon")
     n = lat.shape[0]
     nbits = precision * 5
     # interleaved bisection: even global bit positions refine lon

@@ -80,7 +80,7 @@ def simplify_ring(ring: np.ndarray, tol: float,
     h1 = simplify_open(ring[:far + 1], tol)
     h2 = simplify_open(np.vstack([ring[far:], ring[:1]]), tol)
     out = np.vstack([h1[:-1], h2[:-1]])
-    return out if len(out) >= min(min_vertices, 3) else ring.copy()
+    return out if len(out) >= min_vertices else ring.copy()
 
 
 def max_deviation(orig: np.ndarray, simp: np.ndarray) -> float:

@@ -114,20 +114,55 @@ def polygon_cover_udf(ring: Column, level: int,
     return _cover(ring, *_holes_transport(holes))
 
 
+def geom_key(ring: Column = None, holes: Column = None,
+             poly_id: Column = None) -> Column:
+    """JVM-side geometry identity: xxhash64 of the JSON-rendered rings
+    (+ poly_id). Computed ONCE per region row BEFORE the cover explode
+    and carried through the candidate join as a narrow long — so pip_udf
+    can group exactly by geometry with ZERO per-candidate python cost
+    (review r5: the per-row fingerprint loop ran on the fact side)."""
+    cols = []
+    if poly_id is not None:
+        cols.append(poly_id)
+    cols.append(F.to_json(F.struct((ring if ring is not None
+                                    else F.col("ring")).alias("r"))))
+    if holes is not None:
+        cols.append(F.to_json(F.struct(holes.alias("h"))))
+    return F.xxhash64(*cols)
+
+
 def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column,
-            holes: Column | None = None) -> Column:
+            holes: Column | None = None,
+            group: Column | None = None) -> Column:
     """Exact point-in-polygon test (G5) — outer ring minus interior
     rings — vectorized per polygon group within each Arrow batch
     (candidate pairs arrive clustered by polygon).
 
-    Groups by (poly_id, geometry fingerprint), NOT poly_id alone
-    (ADVICE r4 medium): MultiPolygon PARTS share poly_id, and a batch
-    holding rows of two parts must test each row against ITS OWN ring —
-    grouping by bare poly_id evaluated the whole run against the first
-    row's geometry. The fingerprint is O(1) per row (vertex count, first
-    and middle outer vertices, hole count) — parts of one feature always
-    differ in it; a collision would require two distinct part geometries
-    agreeing on all five values."""
+    Grouping must distinguish GEOMETRY, not just poly_id (ADVICE r4
+    medium): MultiPolygon PARTS share poly_id, and a batch holding rows
+    of two parts must test each row against ITS OWN ring. The fast path
+    is ``group`` — a precomputed per-geometry key (geom_key(), a narrow
+    long carried from the region side; vectorized int64 groupby, no
+    per-candidate python). Without it, a per-row O(1) fingerprint
+    (vertex count, first/middle outer vertices, hole count) sub-groups
+    each poly_id — correct but python-per-row; the engine's operators
+    all pass ``group``."""
+    @F.pandas_udf(BooleanType())
+    def _pip_grouped(la: pd.Series, lo: pd.Series, grp: pd.Series,
+                     rg: pd.Series, hf: pd.Series,
+                     hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(la), dtype=bool)
+        la_np = la.to_numpy(np.float64)
+        lo_np = lo.to_numpy(np.float64)
+        for _, idx in pd.Series(range(len(grp))).groupby(
+                grp.values).groups.items():
+            ii = np.asarray(idx)
+            ring_np = _np_ring(rg.iloc[ii[0]])
+            holes_np = _np_holes(hf.iloc[ii[0]], hs.iloc[ii[0]])
+            out[ii] = P.points_in_polygon(la_np[ii], lo_np[ii], ring_np,
+                                          holes=holes_np)
+        return pd.Series(out)
+
     @F.pandas_udf(BooleanType())
     def _pip(la: pd.Series, lo: pd.Series, pid: pd.Series,
              rg: pd.Series, hf: pd.Series, hs: pd.Series) -> pd.Series:
@@ -151,6 +186,10 @@ def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column,
             out[ii] = P.points_in_polygon(la_np[ii], lo_np[ii], ring_np,
                                           holes=holes_np)
         return pd.Series(out)
+
+    if group is not None:
+        return _pip_grouped(lat, lon, group, ring,
+                            *_holes_transport(holes))
     return _pip(lat, lon, poly_id, ring, *_holes_transport(holes))
 
 
@@ -208,10 +247,16 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     if "holes" not in regions.columns:
         regions = regions.withColumn(
             "holes", F.array().cast("array<array<array<double>>>"))
+    # per-geometry key, computed once per REGION row (small side) and
+    # carried as a narrow long: the PIP residual groups by it, so
+    # MultiPolygon parts sharing a poly_id are each tested against their
+    # own ring at zero per-candidate cost
+    regions = regions.withColumn("__geom", geom_key(
+        F.col("ring"), F.col("holes"), F.col("poly_id")))
     cov = (regions
            .withColumn("cell", F.explode(polygon_cover_udf(
                F.col("ring"), level, holes=F.col("holes"))))
-           .select("cell", "poly_id", "ring", "holes",
+           .select("cell", "poly_id", "__geom", "ring", "holes",
                    "lat_min", "lat_max", "lon_min", "lon_max"))
 
     pts = points.withColumn("cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
@@ -227,7 +272,7 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                    .withColumn("cell", F.explode(polygon_cover_udf(
                        F.col("ring"), level, holes=F.col("holes"),
                        compact=True)))
-                   .select("cell", "poly_id", "ring", "holes",
+                   .select("cell", "poly_id", "__geom", "ring", "holes",
                            "lat_min", "lat_max", "lon_min", "lon_max"))
             # probe with the ancestor chain: disjoint mixed-level cover
             # ⇒ at most one of these level+1 cells matches per polygon
@@ -261,14 +306,15 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         (F.col("lat") >= F.col("lat_min")) & (F.col("lat") <= F.col("lat_max")) &
         (F.col("lon") >= F.col("lon_min")) & (F.col("lon") <= F.col("lon_max")))
 
-    # cluster candidates by polygon inside each partition (local sort, no
-    # shuffle) so every Arrow batch holds long single-polygon runs — the
-    # vectorized PIP then does one ring setup per run instead of one per
-    # (batch, polygon) pair; measured 185s → seconds at 600k x 2k polys
-    cand = cand.sortWithinPartitions("poly_id")
+    # cluster candidates by geometry inside each partition (local sort,
+    # no shuffle) so every Arrow batch holds long single-geometry runs —
+    # the vectorized PIP then does one ring setup per run instead of one
+    # per (batch, polygon) pair; measured 185s → seconds at 600k x 2k
+    cand = cand.sortWithinPartitions("__geom")
 
     hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
-                              F.col("ring"), holes=F.col("holes")))
+                              F.col("ring"), holes=F.col("holes"),
+                              group=F.col("__geom")))
     # keep_point_cols ride for free: the candidate join already carries
     # every point column, so consumers (e.g. zonal_stats) avoid a second
     # points-side shuffle to re-attach values by id

@@ -250,8 +250,12 @@ def split_antimeridian(regions: DataFrame, ring_col: str = "ring",
                 continue
             rings = pdf[ring_col].values
             if has_bbox:
-                lon0 = pdf["lon_min"].to_numpy(np.float64, na_value=0.0)
-                lon1 = pdf["lon_max"].to_numpy(np.float64, na_value=0.0)
+                # null bbox → NaN → every comparison False → the row
+                # stays a CANDIDATE and the per-ring kernel decides
+                # (review r5: na_value=0.0 silently passed crossing
+                # rings with missing bbox through unsplit)
+                lon0 = pdf["lon_min"].to_numpy(np.float64, na_value=np.nan)
+                lon1 = pdf["lon_max"].to_numpy(np.float64, na_value=np.nan)
                 cand = ~((lon1 - lon0 <= 180.0)
                          & (lon0 >= -180.0) & (lon1 <= 180.0))
             else:

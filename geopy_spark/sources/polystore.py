@@ -29,10 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cells import cell_encode_udf
-from ..operators.spatial_join import DEFAULT_LEVEL, pip_udf, polygon_cover_udf
+from ..operators.spatial_join import (DEFAULT_LEVEL, geom_key, pip_udf,
+                                      polygon_cover_udf)
 from .bucketed import write_bucketed
 
-COVER_COLS = ("cell", "poly_id", "ring", "holes",
+COVER_COLS = ("cell", "poly_id", "__geom", "ring", "holes",
               "lat_min", "lat_max", "lon_min", "lon_max")
 
 
@@ -48,6 +49,8 @@ def write_region_cover_bucketed(regions: DataFrame, table_fqn: str, *,
     if "holes" not in regions.columns:
         regions = regions.withColumn(
             "holes", F.array().cast("array<array<array<double>>>"))
+    regions = regions.withColumn("__geom", geom_key(
+        F.col("ring"), F.col("holes"), F.col("poly_id")))
     cov = (regions
            .withColumn("cell", F.explode(polygon_cover_udf(
                F.col("ring"), level, holes=F.col("holes"))))
@@ -79,6 +82,9 @@ def write_points_bucketed(points: DataFrame, table_fqn: str, *,
     pts = points.withColumn(
         "cell", cell_encode_udf(F.col(lat), F.col(lon), level))
     write_bucketed(pts, table_fqn, "cell", n_buckets=n_buckets)
+    spark = points.sparkSession
+    spark.sql(f"ALTER TABLE {table_fqn} SET TBLPROPERTIES "
+              f"('geopy.cover_level' = '{int(level)}')")
 
 
 def spatial_join_bucketed(spark: SparkSession, points_fqn: str,
@@ -90,18 +96,16 @@ def spatial_join_bucketed(spark: SparkSession, points_fqn: str,
     Exchange: both scans expose matching hash partitionings, so Catalyst
     plans a shuffle-free (and pre-sorted) SortMergeJoin. The only
     non-scan python in the plan is the exact PIP residual."""
+    lv_p = cover_level(spark, points_fqn)
+    lv_c = cover_level(spark, cover_fqn)
+    if lv_p is not None and lv_c is not None and lv_p != lv_c:
+        raise ValueError(
+            f"cell-level mismatch: {points_fqn} bucketed at level {lv_p}, "
+            f"{cover_fqn} covered at level {lv_c} — the join would "
+            f"silently return nothing")
     pts = spark.table(points_fqn)
     cov = spark.table(cover_fqn)
-    cand = pts.join(cov, "cell").filter(
-        (F.col("lat") >= F.col("lat_min")) & (F.col("lat") <= F.col("lat_max"))
-        & (F.col("lon") >= F.col("lon_min"))
-        & (F.col("lon") <= F.col("lon_max")))
-    # local sort clusters each partition's candidates by polygon so the
-    # vectorized PIP pays one ring setup per run — narrow op, no Exchange
-    cand = cand.sortWithinPartitions("poly_id")
-    hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
-                              F.col("ring"), holes=F.col("holes")))
-    return hit.select(point_id, "poly_id")
+    return _residual_join(pts, cov, point_id)
 
 
 def spatial_join_against_cover(points: DataFrame, spark: SparkSession,
@@ -121,11 +125,25 @@ def spatial_join_against_cover(points: DataFrame, spark: SparkSession,
     pts = points.withColumn(
         "cell", cell_encode_udf(F.col("lat"), F.col("lon"), level))
     cov = spark.table(cover_fqn)
+    return _residual_join(pts, cov, point_id)
+
+
+def _residual_join(pts: DataFrame, cov: DataFrame,
+                   point_id: str) -> DataFrame:
+    """Shared candidate → bbox-prune → PIP-residual tail; groups the PIP
+    by the stored per-geometry key when the cover carries one (covers
+    written before round-5's __geom column fall back to the fingerprint
+    path inside pip_udf — correct either way)."""
+    grp = F.col("__geom") if "__geom" in cov.columns else None
     cand = pts.join(cov, "cell").filter(
         (F.col("lat") >= F.col("lat_min")) & (F.col("lat") <= F.col("lat_max"))
         & (F.col("lon") >= F.col("lon_min"))
         & (F.col("lon") <= F.col("lon_max")))
-    cand = cand.sortWithinPartitions("poly_id")
+    # local sort clusters each partition's candidates by geometry so the
+    # vectorized PIP pays one ring setup per run — narrow op, no Exchange
+    cand = cand.sortWithinPartitions("__geom" if grp is not None
+                                     else "poly_id")
     hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
-                              F.col("ring"), holes=F.col("holes")))
+                              F.col("ring"), holes=F.col("holes"),
+                              group=grp))
     return hit.select(point_id, "poly_id")

@@ -121,7 +121,9 @@ def read_wkb(df: DataFrame, wkb_col: str = "wkb",
             for wkb, pid in zip(pdf["_wkb"], pdf["_pid"]):
                 try:
                     name, parts = parse_wkb(wkb)
-                except ValueError:
+                # struct.error / IndexError: truncated or empty buffers —
+                # must surface as INVALID rows, not kill the ingest task
+                except (ValueError, struct.error, IndexError):
                     out.append((int(pid), 0, None, [], None, None, None,
                                 None, "INVALID"))
                     continue

@@ -144,23 +144,32 @@ def install_sql_functions(spark: SparkSession) -> list:
     def _geohash_encode(la: pd.Series, lo: pd.Series,
                         prec: pd.Series) -> pd.Series:
         import numpy as np
-        la_np, lo_np = la.to_numpy(np.float64), lo.to_numpy(np.float64)
+        la_np = la.to_numpy(np.float64, na_value=np.nan)
+        lo_np = lo.to_numpy(np.float64, na_value=np.nan)
         pr_np = prec.to_numpy()
-        out = np.empty(len(la_np), dtype=object)
+        ok = np.isfinite(la_np) & np.isfinite(lo_np)
+        out = np.full(len(la_np), None, dtype=object)
         for p in np.unique(pr_np):
-            m = pr_np == p
-            out[m] = GH.encode(la_np[m], lo_np[m], int(p))
+            m = (pr_np == p) & ok
+            if m.any():
+                out[m] = GH.encode(la_np[m], lo_np[m], int(p))
+        return pd.Series(out)
+
+    def _gh_decode_part(gh: pd.Series, idx: int) -> pd.Series:
+        import numpy as np
+        mask = gh.notna().to_numpy()
+        out = np.full(len(gh), np.nan)
+        if mask.any():
+            out[mask] = GH.decode(gh[mask].to_numpy(dtype=str))[idx]
         return pd.Series(out)
 
     @F.pandas_udf("double", PandasUDFType.SCALAR)
     def _geohash_lat(gh: pd.Series) -> pd.Series:
-        lat, _ = GH.decode(gh.to_numpy(dtype=str))
-        return pd.Series(lat)
+        return _gh_decode_part(gh, 0)
 
     @F.pandas_udf("double", PandasUDFType.SCALAR)
     def _geohash_lon(gh: pd.Series) -> pd.Series:
-        _, lon = GH.decode(gh.to_numpy(dtype=str))
-        return pd.Series(lon)
+        return _gh_decode_part(gh, 1)
 
     spark.udf.register("cell_encode", _cell_encode)
     spark.udf.register("geodesic_m", _geodesic)

@@ -65,14 +65,18 @@ def region_cover(regions: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
     The first trigger pays the cover computation and fills the cache;
     callers that tear a query down may cov.unpersist() (blocks are also
     LRU-evicted under memory pressure, so leaking one is benign)."""
+    from ..operators.spatial_join import geom_key
+
     regions = regions.coalesce(8)
     if "holes" not in regions.columns:
         regions = regions.withColumn(
             "holes", F.array().cast("array<array<array<double>>>"))
+    regions = regions.withColumn("__geom", geom_key(
+        F.col("ring"), F.col("holes"), F.col("poly_id")))
     return (regions
             .withColumn("cell", F.explode(polygon_cover_udf(
                 F.col("ring"), level, holes=F.col("holes"))))
-            .select("cell", "poly_id", "ring", "holes",
+            .select("cell", "poly_id", "__geom", "ring", "holes",
                     "lat_min", "lat_max", "lon_min", "lon_max")
             .persist())
 
@@ -107,8 +111,10 @@ def spatial_join_stream(stream: DataFrame, regions: DataFrame, *,
                     & (F.col("lat") <= F.col("lat_max"))
                     & (F.col("lon") >= F.col("lon_min"))
                     & (F.col("lon") <= F.col("lon_max"))))
+    grp = F.col("__geom") if "__geom" in cov.columns else None
     hit = cand.filter(pip_udf(F.col("lat"), F.col("lon"), F.col("poly_id"),
-                              F.col("ring"), holes=F.col("holes")))
+                              F.col("ring"), holes=F.col("holes"),
+                              group=grp))
     # extra point columns (e.g. a measurement value for
     # windowed_poly_stats) ride the per-batch join for free, same as the
     # batch operator's keep_point_cols

@@ -98,6 +98,11 @@ def run(args, spark=None, stop_session: bool = True) -> dict:
               "decode": args.decode, "input": os.path.abspath(args.input),
               "georef": getattr(args, "georef", "table"), "layout": 2}
     prev = table.properties()
+    if prev and isinstance(prev.get("params"), dict):
+        # tables written before round 5 stored no 'georef' key; its
+        # absence means the then-only behavior, 'table' — keep --resume
+        # working on them instead of forcing a rebuild
+        prev["params"].setdefault("georef", "table")
     if args.resume and prev and prev.get("params") != params:
         raise SystemExit(f"--resume parameter mismatch: table was written with "
                          f"{prev.get('params')}, got {params}")

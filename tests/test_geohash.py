@@ -67,3 +67,32 @@ def test_column_surface_and_cell_handoff(spark):
     # only points straddling a cell boundary could flip — none at 5 m
     # offsets in this fixture
     assert n_bad == 0
+
+
+def test_null_and_nan_handling(spark):
+    """Review r5: null/NaN coordinates encode to NULL (not the
+    valid-looking South-Pole cell); null keys decode to a null struct;
+    the kernel refuses non-finite input loudly."""
+    with pytest.raises(ValueError):
+        GH.encode(np.array([np.nan]), np.array([1.0]), 9)
+    from geopy_spark.functions.geohash import (geohash_decode_udf,
+                                               geohash_encode_udf)
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, None, 20.0), (3, float("nan"), 20.0)],
+        "id long, lat double, lon double")
+    enc = {r.id: r.gh for r in df.select(
+        "id", geohash_encode_udf(F.col("lat"), F.col("lon"), 9)
+        .alias("gh")).collect()}
+    assert enc[1] is not None and enc[2] is None and enc[3] is None
+    dec = spark.createDataFrame([(1, "ezs42"), (2, None)],
+                                "id long, gh string")
+    got = {r.id: r.d for r in dec.select(
+        "id", geohash_decode_udf(F.col("gh")).alias("d")).collect()}
+    assert abs(got[1].lat - 42.605) < 0.01
+    assert got[2].lat is None
+    # SQL surface mirrors the semantics
+    from geopy_spark.sql_ext import install_sql_functions
+    install_sql_functions(spark)
+    r = spark.sql("SELECT geohash_encode(CAST(NULL AS DOUBLE), 1.0D, 9) "
+                  "AS a, geohash_lat(CAST(NULL AS STRING)) AS b").first()
+    assert r.a is None and r.b is None

@@ -489,3 +489,25 @@ def test_antimeridian_split_100k_features_fast(spark):
     assert total == n + n // 1000      # each crosser → 2 parts
     assert crossers == n // 1000
     assert wall < 60.0, f"split took {wall:.1f}s"
+
+
+def test_antimeridian_split_null_bbox_still_splits(spark):
+    """Review r5: a crossing ring whose bbox columns are NULL must stay
+    a split CANDIDATE (null bbox used to read as 0.0 → 'in range' →
+    passed through unsplit)."""
+    from geopy_spark.sources.geojson import split_antimeridian
+
+    ring = [[-18.0, 177.0], [-18.0, 182.0], [-15.0, 182.0], [-15.0, 177.0]]
+    # non-empty hole: an EMPTY array<array<array<double>>> trips the
+    # documented pyarrow segfault on the JVM→Python hop
+    hole = [[[-17.0, 178.0], [-17.0, 179.0], [-16.0, 179.0], [-16.0, 178.0]]]
+    df = spark.createDataFrame(
+        [(1, 0, ring, hole, None, None, None, None)],
+        "poly_id long, part int, ring array<array<double>>, "
+        "holes array<array<array<double>>>, lat_min double, "
+        "lat_max double, lon_min double, lon_max double")
+    rows = split_antimeridian(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        lons = [v[1] for v in r.ring]
+        assert max(lons) <= 180.0 and min(lons) >= -180.0

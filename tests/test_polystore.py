@@ -96,3 +96,17 @@ def test_adhoc_points_pay_one_exchange_cover_side_none(spark, store):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
+
+
+def test_bucketed_level_mismatch_raises(spark, store, tmp_path_factory):
+    """Review r5: both bucketed paths fail LOUDLY on a cell-level
+    mismatch (the join would silently return nothing)."""
+    regions, pts = store
+    PS.write_points_bucketed(pts, "polydemo.pts7", level=LEVEL + 1,
+                             n_buckets=8)
+    with pytest.raises(ValueError, match="level"):
+        PS.spatial_join_bucketed(spark, "polydemo.pts7", "polydemo.cover")
+    with pytest.raises(ValueError, match="level"):
+        PS.spatial_join_against_cover(pts, spark, "polydemo.cover",
+                                      level=LEVEL + 1)
+    spark.sql("DROP TABLE polydemo.pts7")

@@ -68,3 +68,18 @@ def test_operator_schema_bbox_and_holes(spark):
         assert r.lon_max == ring[:, 1].max()
         orig = np.asarray(a[r.poly_id], dtype=np.float64)
         assert max_deviation(orig, ring) <= 0.5 + 1e-12
+
+
+def test_min_vertices_gate_honored():
+    """Review r5: a ring that would collapse below min_vertices is
+    returned UNCHANGED (the docstring's promise) — a square with one
+    redundant vertex collapses to 4 at min_vertices=4 but refuses to
+    drop to 3 when asked to keep 5."""
+    ring = np.array([[0, 0], [0, 5], [0, 10], [10, 10], [10, 0]],
+                    dtype=float)
+    s4 = np.asarray([[0, 0], [0, 10], [10, 10], [10, 0]], dtype=float)
+    out4 = simplify_ring(ring, 0.5, min_vertices=4)
+    assert len(out4) == 4 and {tuple(v) for v in out4} == \
+        {tuple(v) for v in s4}
+    out5 = simplify_ring(ring, 0.5, min_vertices=5)
+    assert np.array_equal(out5, ring)

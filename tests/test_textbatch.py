@@ -85,3 +85,21 @@ def test_vectorized_batch_path_equals_loop_reference():
     nb = ["héllo wörld", "the plain", "汉字 test"]
     assert TB.features_rows(nb, langs, lm)["fp"] == \
         TB._features_loop(nb, langs, lm)["fp"]
+
+
+def test_nul_bytes_dispatch_to_loop_path():
+    """Review r5: \\x00 inside a document collides with the buffer's row
+    separator — such batches must fall back to the loop path and stay
+    byte-identical to it."""
+    from geopy_spark.functions import text as T
+    from geopy_spark.functions import textbatch as TB
+
+    langs = list(T.LANG_MARKERS)
+    lm = [T.LANG_MARKERS[lg] for lg in langs]
+    batch = ["a\x00b of the and", "plain row", "\x00", "of the and"]
+    ref = TB._features_loop(batch, langs, lm)
+    got = TB.features_rows(batch, langs, lm)
+    for k in ("lang", "n_tokens", "n_bpe_tokens", "fp"):
+        assert list(ref[k]) == list(got[k]), k
+    assert [float(v) for v in ref["quality"]] == \
+        [float(v) for v in got["quality"]]

@@ -119,3 +119,18 @@ def test_roundtrip_and_join_invariance(spark):
     assert back.count() == regions.count()
     b2 = {r.poly_id: [list(v) for v in r.ring] for r in back.collect()}
     assert {k: v[0] for k, v in a.items()} == b2
+
+
+def test_truncated_and_empty_buffers_surface_as_invalid(spark):
+    """Review r5: truncated WKB raises struct.error and empty bytes
+    raise IndexError — both must become INVALID rows, not task
+    failures."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01\x03\x00")),      # truncated header
+         (2, bytearray(b"")),                   # empty
+         (3, bytearray(_pk_polygon(SQUARE)))],  # valid control
+        "gid long, wkb binary")
+    rows = {r.poly_id: r for r in W.read_wkb(df, id_col="gid").collect()}
+    assert rows[1].geom_type == "INVALID" and rows[1].ring is None
+    assert rows[2].geom_type == "INVALID"
+    assert rows[3].geom_type == "POLYGON" and rows[3].ring is not None
