@@ -22,6 +22,7 @@ from .functions import geo, text
 from .kernels import rollhash
 from .operators import dedup, similarity
 from .operators.knn import knn_join, within_distance_join
+from .operators.trajectory import trajectory_stats
 from .operators.spatial_join import spatial_join
 from .operators.zonal import zonal_stats
 from .operators.tiling import tile_pyramid, tile_stats
@@ -291,6 +292,54 @@ SELECT event_id, user_id,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 3)
        AS running_value
 FROM events
+"""
+
+
+def q_trajectory_stats(spark, sf_dir):
+    """G24 driver row (round 5): per-entity movement stats — events as a
+    ping stream (user_id = entity, lat/lon derived from event_id by the
+    shared synth formula), ts-ordered window lag + JVM haversine legs,
+    one entity-window shuffle. Oracled by the identical lag-window SQL.
+    Subsumes the retired running_sum's R15 coverage (same window-analytic
+    machinery: partitioned ordered lag/sum) and adds the G12 leg math."""
+    e = load_table(spark, sf_dir, "events")
+    pings = e.select(F.col("user_id").alias("entity_id"), "ts", "event_id",
+                     geo.derived_lat(F.col("event_id")).alias("lat"),
+                     geo.derived_lon(F.col("event_id")).alias("lon"))
+    out = trajectory_stats(pings, tiebreak_col="event_id")
+    return out.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        F.col("n_pings").cast("long").alias("n_pings"),
+        F.round(F.col("path_m") / 1000.0, 3).alias("path_km"),
+        F.col("duration_s").cast("long").alias("duration_s"),
+        F.round("avg_speed_ms", 4).alias("avg_speed_ms"),
+        F.col("max_gap_s").cast("long").alias("max_gap_s"))
+
+
+_SQL_TRAJECTORY = f"""
+WITH p AS (SELECT user_id AS entity_id, ts, event_id,
+                  {synth.derived_lat_sql('event_id')} AS lat,
+                  {synth.derived_lon_sql('event_id')} AS lon
+           FROM events),
+l AS (SELECT entity_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s
+      FROM p WINDOW w AS (PARTITION BY entity_id ORDER BY ts, event_id)),
+a AS (SELECT entity_id, count(*) AS n_pings,
+             coalesce(sum({geo.haversine_m_sql('plat', 'plon', 'lat', 'lon')}),
+                      0.0) AS path_m,
+             coalesce(sum(gap_s), 0) AS duration_s,
+             max(gap_s) AS max_gap_s
+      FROM l GROUP BY 1)
+SELECT CAST(entity_id AS BIGINT) AS entity_id,
+       CAST(n_pings AS BIGINT) AS n_pings,
+       round(path_m / 1000.0, 3) AS path_km,
+       CAST(duration_s AS BIGINT) AS duration_s,
+       round(CASE WHEN duration_s > 0 THEN path_m / duration_s END, 4)
+         AS avg_speed_ms,
+       CAST(max_gap_s AS BIGINT) AS max_gap_s
+FROM a
 """
 
 
@@ -1953,7 +2002,7 @@ QUERIES = {
     "pivot_status": q_pivot_status,
     "percentiles": q_percentiles,
     "stats_agg": q_stats_agg,
-    "running_sum": q_running_sum,
+    "trajectory_stats": q_trajectory_stats,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "outer_join": q_outer_join,
@@ -1970,15 +2019,25 @@ QUERIES = {
     #   - "scalar_medley" (R19/R21): every scalar it exercised is also
     #     exercised by sql_surface (string+math medley through SQL) and
     #     text_features; kept as a pytest-witnessed twin.
-    # Both query fns + oracles remain in this module and are pinned green
-    # by tests/test_retired_queries.py, so coverage is witnessed even
-    # though the driver artifact no longer carries the rows.
+    #   - "running_sum" (R15, retired late round 5 for the G24
+    #     trajectory_stats row): trajectory_stats runs the same
+    #     partitioned ordered window machinery (lag + sum over the
+    #     entity window) on the same events table, plus the haversine
+    #     leg math — strictly more coverage per row.
+    # All retired query fns + oracles remain in this module and are
+    # pinned green by tests/test_retired_queries.py, so coverage is
+    # witnessed even though the driver artifact no longer carries the
+    # rows.
 }
 
 # retired driver rows (still oracle-checked in pytest — see registry note)
 RETIRED_QUERIES = {
     "sampling": q_sampling,
     "scalar_medley": q_scalar_medley,
+    # retired late round 5 for the G24 trajectory row, which exercises
+    # the SAME R15 machinery (partitioned ordered window lag/sum over
+    # events) plus the G12 leg math — strictly more coverage per row
+    "running_sum": q_running_sum,
 }
 
 ORACLES = {
@@ -2026,7 +2085,7 @@ ORACLES = {
     "pivot_status": _SQL_PIVOT,
     "percentiles": _SQL_PERCENTILES,
     "stats_agg": _SQL_STATS,
-    "running_sum": _SQL_RUNNING,
+    "trajectory_stats": _SQL_TRAJECTORY,
     "range_join": _SQL_RANGE_JOIN,
     "asof_join": _SQL_ASOF,
     "outer_join": _SQL_OUTER_JOIN,
@@ -2037,6 +2096,7 @@ ORACLES = {
 RETIRED_ORACLES = {
     "sampling": _SQL_SAMPLING,
     "scalar_medley": _SQL_SCALAR_MEDLEY,
+    "running_sum": _SQL_RUNNING,
 }
 
 assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
