@@ -248,9 +248,32 @@ def main() -> None:
     def _measures():
         return region_measures(regions_holed).count()
 
+    # round-5 additions: G23 DBSCAN (eps graph + core CC over an ~86k
+    # global point sample — the density regime where most points are
+    # noise, i.e. the shuffle-bound path) and G24 trajectory stats
+    # (events as ping stream, one entity-window shuffle)
+    from geopy_spark.operators.clustering import dbscan
+    from geopy_spark.operators.trajectory import trajectory_stats
+
+    pts_db = pts_id.filter(F.col("id") % 7 == 0)
+
+    def _dbscan():
+        # level 8 (78 km cells): the eps=50 km disk stays a 3x3 cell
+        # block while candidate area shrinks ~16x vs level 6
+        return dbscan(pts_db, 50_000.0, 4, level=8, point_id="id").count()
+
+    def _trajectory():
+        e = load_table(spark, sf_dir, "events")
+        pings = e.select(F.col("user_id").alias("entity_id"), "ts",
+                         "event_id",
+                         geo.derived_lat(F.col("event_id")).alias("lat"),
+                         geo.derived_lon(F.col("event_id")).alias("lon"))
+        return trajectory_stats(pings, tiebreak_col="event_id").count()
+
     spatial_ops = {}
     for nm, fn in (("zonal_stats", _zonal), ("within_distance", _withind),
-                   ("polygon_join", _polyjoin), ("measures", _measures)):
+                   ("polygon_join", _polyjoin), ("measures", _measures),
+                   ("dbscan", _dbscan), ("trajectory_stats", _trajectory)):
         n_rows = fn()  # warm
         runs = []
         for _ in range(3):

@@ -42,6 +42,7 @@ from .knn import DEFAULT_LEVEL, within_distance_join
 
 def dbscan(points: DataFrame, eps_m: float, min_pts: int, *,
            level: int = DEFAULT_LEVEL, point_id: str = "id",
+           cc_algorithm: str = "star",
            checkpoint_dir: str | None = None) -> DataFrame:
     """points(<point_id>, lat, lon) → (<point_id>, cluster, is_core,
     n_neighbors); ``cluster`` is null for noise, else the min core id of
@@ -49,6 +50,9 @@ def dbscan(points: DataFrame, eps_m: float, min_pts: int, *,
 
     ``checkpoint_dir`` is forwarded to the component loop (reliable
     checkpoints for executor-loss-safe iteration on a real cluster).
+    ``cc_algorithm``: "star" (default — O(log n) rounds on any graph
+    shape) or "hashmin" (O(diameter) rounds with less work per round —
+    faster when eps clusters are spatially compact, the common case).
     """
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
@@ -74,6 +78,7 @@ def dbscan(points: DataFrame, eps_m: float, min_pts: int, *,
                   .join(cores.withColumnRenamed("_pid", "b"), "b", "semi")
                   .filter(F.col("a") != F.col("b")))
     comp = connected_components(core_edges, "a", "b",
+                                algorithm=cc_algorithm,
                                 checkpoint_dir=checkpoint_dir) \
         .select(F.col("node").alias("_pid"), F.col("component").alias("cluster"))
     comp = cores.join(comp, "_pid", "left") \
