@@ -87,3 +87,64 @@ def split_trips(pings: DataFrame, max_gap_s: int, *,
     brk = F.when(F.col("_gap_s") > max_gap_s, 1).otherwise(0)
     return (legs.withColumn("trip_id", F.sum(brk).over(w).cast("long"))
             .drop("_plat", "_plon", "_gap_s", "_leg_m"))
+
+
+def stay_points(pings: DataFrame, *, max_speed_ms: float,
+                min_duration_s: int, entity_col: str = "entity_id",
+                ts_col: str = "ts", tiebreak_col: str | None = None,
+                lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Dwell detection: maximal runs of consecutive SLOW legs (leg speed
+    < ``max_speed_ms``; zero-duration legs count as slow) lasting at
+    least ``min_duration_s`` seconds. Returns one row per stay:
+    (entity, stay_id, start_ts, end_ts, duration_s, n_pings, lat, lon)
+    with lat/lon the arithmetic centroid of the dwell's pings.
+
+    This is the speed-run variant of stay-point mining (order-free and
+    exactly SQL-expressible), not Li et al.'s anchor-based scan — the
+    anchor walk is inherently sequential and scan-order-dependent, which
+    a distributed run cannot reproduce deterministically. Same shape as
+    the other G24 ops: gap-and-islands over one entity window (running
+    sum of fast-leg breaks numbers the islands), then one groupBy on the
+    (entity, island) key — two shuffles total, the second key-compatible
+    with the first."""
+    legs = _legs(pings, entity_col, ts_col, tiebreak_col, lat_col, lon_col)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    slow = (F.col("_leg_m")
+            < F.lit(float(max_speed_ms)) * F.col("_gap_s").cast("double")) \
+        | (F.col("_gap_s") == 0)
+    # a FAST leg (or the entity's first ping, _gap_s null) starts a new
+    # island; islands of slow legs are the dwell candidates
+    brk = F.when(slow, 0).otherwise(1)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    runs = (legs
+            .withColumn("_isle", F.sum(brk).over(w))
+            .withColumn("_slow", slow))
+    # a dwell covers the ANCHOR ping (the one the island's first slow leg
+    # departs from — carried on that leg's row as the lagged ts/coords)
+    # plus the destination ping of every slow leg; the struct-min pulls
+    # the island's earliest leg and with it the anchor's epoch/coords
+    anchor = F.min(F.struct(
+        (epoch - F.col("_gap_s")).alias("e"),
+        F.col("_plat").alias("la"), F.col("_plon").alias("lo")))
+    grp = runs.filter(F.col("_slow")).groupBy(entity_col, "_isle").agg(
+        anchor.alias("_a"),
+        F.max(epoch).alias("end_e"),
+        F.count("*").alias("_n_legs"),
+        F.sum(lat_col).alias("_lat_sum"),
+        F.sum(lon_col).alias("_lon_sum"))
+    n = F.col("_n_legs") + 1
+    out = (grp
+           .filter(F.col("end_e") - F.col("_a.e")
+                   >= F.lit(int(min_duration_s)))
+           .select(F.col(entity_col),
+                   F.col("_isle").cast("long").alias("stay_id"),
+                   F.col("_a.e").alias("start_epoch_s"),
+                   F.col("end_e").alias("end_epoch_s"),
+                   (F.col("end_e") - F.col("_a.e")).alias("duration_s"),
+                   n.cast("long").alias("n_pings"),
+                   ((F.col("_lat_sum") + F.col("_a.la")) / n).alias("lat"),
+                   ((F.col("_lon_sum") + F.col("_a.lo")) / n).alias("lon")))
+    return out

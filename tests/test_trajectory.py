@@ -117,3 +117,57 @@ def test_trajectory_stats_plan_single_shuffle(spark):
     plan = trajectory_stats(df, tiebreak_col="ping_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_stay_points(spark):
+    """Speed-run dwell detection: a walker dwells twice (only the long
+    dwell survives min_duration), moves fast between; the dwell covers
+    the anchor ping, centroid averages anchor + destinations."""
+    from geopy_spark.operators.trajectory import stay_points
+
+    # entity 1: dwell A (4 pings over 900 s at ~0 m), fast hop, dwell B
+    # (2 pings over 60 s — under min_duration), fast tail
+    rows = [
+        (1, 1, _ts(0), 10.0000, 20.0000),
+        (1, 2, _ts(300), 10.0001, 20.0000),    # ~11 m in 300 s — slow
+        (1, 3, _ts(600), 10.0000, 20.0001),    # slow
+        (1, 4, _ts(900), 10.0001, 20.0001),    # slow
+        (1, 5, _ts(1000), 10.5000, 20.5000),   # ~78 km in 100 s — fast
+        (1, 6, _ts(1060), 10.5001, 20.5000),   # slow but only 60 s
+        (1, 7, _ts(1100), 11.0000, 21.0000),   # fast
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id long, ping_id long, ts timestamp, "
+              "lat double, lon double")
+    got = stay_points(df, max_speed_ms=1.0, min_duration_s=300,
+                      tiebreak_col="ping_id").collect()
+    assert len(got) == 1
+    s = got[0]
+    assert s.entity_id == 1
+    assert s.start_epoch_s == 1_700_000_000
+    assert s.end_epoch_s == 1_700_000_900
+    assert s.duration_s == 900 and s.n_pings == 4
+    assert abs(s.lat - (10.0000 + 10.0001 + 10.0000 + 10.0001) / 4) < 1e-9
+    assert abs(s.lon - (20.0000 + 20.0000 + 20.0001 + 20.0001) / 4) < 1e-9
+
+
+def test_stay_points_zero_gap_and_per_entity(spark):
+    """Zero-duration legs count as slow (they cannot exceed any speed);
+    islands are per-entity."""
+    from geopy_spark.operators.trajectory import stay_points
+
+    rows = [
+        (1, 1, _ts(0), 0.0, 0.0),
+        (1, 2, _ts(0), 0.0, 0.00001),   # same second — slow by rule
+        (1, 3, _ts(400), 0.0, 0.00002),  # slow
+        (2, 4, _ts(0), 5.0, 5.0),
+        (2, 5, _ts(500), 9.0, 9.0),     # fast — no dwell for entity 2
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id long, ping_id long, ts timestamp, "
+              "lat double, lon double")
+    got = {r.entity_id: r for r in stay_points(
+        df, max_speed_ms=1.0, min_duration_s=300,
+        tiebreak_col="ping_id").collect()}
+    assert list(got) == [1]
+    assert got[1].n_pings == 3 and got[1].duration_s == 400
