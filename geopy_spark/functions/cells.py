@@ -1,8 +1,11 @@
 """Spark surface of the qcell index (SURVEY.md §2.2 G1-G3).
 
-* ``cell_encode_udf`` — vectorized pandas UDF over the numpy kernel (the
-  encode needs float→Morton bit interleave, not expressible in Column
-  algebra).
+* ``cell_encode_udf`` — pure Column bit math since round 6 (floor
+  arithmetic + Morton interleave via mask/shift ladders), zero Python:
+  the encode of the BIG side of every spatial operator stays inside
+  whole-stage codegen instead of paying an ArrowEvalPython round-trip
+  (name kept for API stability; byte-identical to kernels.cells
+  .cell_encode, asserted in tests/test_cells.py).
 * ``cell_parent_col`` / ``cell_level_col`` — pure Column bit math
   (shiftright/masks), zero Python: hierarchy navigation stays inside
   whole-stage codegen (G2).
@@ -20,13 +23,41 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..kernels import cells as K
 
+# Morton spread masks (kernels.cells._spread) — all fit in signed int64
+_M1 = 0x5555555555555555
+_M2 = 0x3333333333333333
+_M4 = 0x0F0F0F0F0F0F0F0F
+_M8 = 0x00FF00FF00FF00FF
+_M16 = 0x0000FFFF0000FFFF
+
+
+def _spread_col(x: Column) -> Column:
+    """Column twin of kernels.cells._spread for inputs < 2^28 (level ≤
+    28 grid indexes): bit k of x lands at position 2k. The masked shifts
+    never reach the sign bit, so plain long arithmetic is exact."""
+    x = x.bitwiseOR(F.shiftleft(x, 16)).bitwiseAND(F.lit(_M16))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(_M8))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(_M4))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(_M2))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(_M1))
+    return x
+
 
 def cell_encode_udf(lat: Column, lon: Column, level: int) -> Column:
-    @F.pandas_udf(LongType())
-    def _enc(la: pd.Series, lo: pd.Series) -> pd.Series:
-        return pd.Series(K.cell_encode(la.to_numpy(np.float64),
-                                       lo.to_numpy(np.float64), level))
-    return _enc(lat, lon)
+    """(lat°, lon°) → int64 cell id at ``level`` — pure Column algebra,
+    replicating kernels.cells.cell_encode operation-for-operation (same
+    IEEE double sequence: clamp/wrap, (x+off)/span*2^L, floor, min) so
+    ids are byte-identical to the numpy kernel's."""
+    n1 = (1 << level) - 1
+    nf = float(2 ** level)
+    la = F.least(F.greatest(lat.cast("double"), F.lit(-90.0)), F.lit(90.0))
+    lo = F.pmod(lon.cast("double") + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+    i = F.least(F.floor((la + F.lit(90.0)) / F.lit(180.0) * F.lit(nf)),
+                F.lit(n1))
+    j = F.least(F.floor((lo + F.lit(180.0)) / F.lit(360.0) * F.lit(nf)),
+                F.lit(n1))
+    m = F.shiftleft(_spread_col(i), 1).bitwiseOR(_spread_col(j))
+    return F.shiftleft(m, 5).bitwiseOR(F.lit(level))
 
 
 def cell_level_col(cell: Column) -> Column:

@@ -69,7 +69,9 @@ def get_spark(app: str = "geopy_spark", cores: int | None = None,
         # 16 slots on an 8g heap with binary payloads)
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores)}g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for bench/test runs (port churn + event-log overhead);
+        # SPARK_GRAFT_UI=true turns it on for REST-API stage profiling
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # saveAsTable (bucketed tables) must never drop files into the
         # repo tree; per-user default because a fixed shared /tmp path
         # collides across concurrent users on a multi-tenant host

@@ -115,3 +115,35 @@ def test_compact_uncompact_roundtrip_and_disjointness():
     kid = cell_children(par).ravel()[:3]
     assert set(compact_cells(np.concatenate([par, kid])).tolist()) \
         == set(par.tolist())
+
+
+def test_column_encode_matches_kernel(spark):
+    """cell_encode_udf is pure Column bit math since round 6 — ids must
+    stay byte-identical to the numpy kernel across levels, hemisphere
+    edges, clamp/wrap inputs and cell boundaries."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geopy_spark.functions.cells import cell_encode_udf
+
+    rng = np.random.default_rng(11)
+    lat = np.concatenate([
+        rng.uniform(-90, 90, 4000),
+        np.array([-90.0, 90.0, 0.0, 89.999999, -89.999999, 45.0, 95.0, -95.0]),
+    ])
+    lon = np.concatenate([
+        rng.uniform(-180, 180, 4000),
+        np.array([-180.0, 180.0, 0.0, 179.999999, -179.999999, 360.5, -725.0, 90.0]),
+    ])
+    pdf = pd.DataFrame({"lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    for lvl in (0, 1, 7, 8, 12, 28):
+        got = np.array(
+            df.select(cell_encode_udf(F.col("lat"), F.col("lon"), lvl)
+                      .alias("c")).toPandas()["c"], dtype=np.int64)
+        want = K.cell_encode(lat, lon, lvl)
+        assert np.array_equal(got, want), f"level {lvl} mismatch"
+    # the expression must stay UDF-free (codegen path, guide §4.1)
+    plan = df.select(cell_encode_udf(F.col("lat"), F.col("lon"), 8))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
