@@ -31,6 +31,9 @@ _M8 = 0x00FF00FF00FF00FF
 _M16 = 0x0000FFFF0000FFFF
 
 
+_M32 = 0x00000000FFFFFFFF
+
+
 def _spread_col(x: Column) -> Column:
     """Column twin of kernels.cells._spread for inputs < 2^28 (level ≤
     28 grid indexes): bit k of x lands at position 2k. The masked shifts
@@ -41,6 +44,37 @@ def _spread_col(x: Column) -> Column:
     x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(_M2))
     x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(_M1))
     return x
+
+
+def _compact_col(x: Column) -> Column:
+    """Column twin of kernels.cells._compact: gather even-position bits
+    into the low 32 (inverse of _spread_col)."""
+    x = x.bitwiseAND(F.lit(_M1))
+    x = x.bitwiseOR(F.shiftright(x, 1)).bitwiseAND(F.lit(_M2))
+    x = x.bitwiseOR(F.shiftright(x, 2)).bitwiseAND(F.lit(_M4))
+    x = x.bitwiseOR(F.shiftright(x, 4)).bitwiseAND(F.lit(_M8))
+    x = x.bitwiseOR(F.shiftright(x, 8)).bitwiseAND(F.lit(_M16))
+    x = x.bitwiseOR(F.shiftright(x, 16)).bitwiseAND(F.lit(_M32))
+    return x
+
+
+def cell_i_col(cell: Column) -> Column:
+    """Latitude grid index of a cell id — pure Column bit math (twin of
+    kernels.cells.cell_to_ij's first output)."""
+    return _compact_col(F.shiftright(cell, 6))
+
+
+def cell_j_col(cell: Column) -> Column:
+    """Longitude grid index of a cell id (twin of cell_to_ij's second
+    output)."""
+    return _compact_col(F.shiftright(cell, 5))
+
+
+def ij_to_cell_col(i: Column, j: Column, level: int) -> Column:
+    """(i, j) grid indexes → cell id at ``level`` — Column twin of
+    kernels.cells.ij_to_cell."""
+    m = F.shiftleft(_spread_col(i), 1).bitwiseOR(_spread_col(j))
+    return F.shiftleft(m, 5).bitwiseOR(F.lit(level))
 
 
 def cell_encode_udf(lat: Column, lon: Column, level: int) -> Column:

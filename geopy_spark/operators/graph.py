@@ -32,8 +32,22 @@ failing the job.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# "auto" size guard: edge multisets at or below this row count are
+# collected to the driver (16 bytes/row via Arrow — ≤ ~64 MB at the
+# default) and solved with a vectorized numpy union-find; larger graphs
+# run the distributed star loop. Same engineering posture as the
+# engine's broadcast size guards: an iterative distributed loop has a
+# multi-second fixed cost per round (checkpoint + fixpoint-test jobs)
+# that a small graph never amortizes — measured on the DBSCAN bench
+# graph (44k edges): star loop ~6 s, driver union-find < 0.1 s.
+DRIVER_CC_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES",
+                                         str(4_000_000)))
 
 
 def _checkpointer(df_like: DataFrame, checkpoint_dir: str | None):
@@ -47,22 +61,69 @@ def _checkpointer(df_like: DataFrame, checkpoint_dir: str | None):
 
 def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
                          max_iter: int = 30, *,
-                         algorithm: str = "star",
-                         checkpoint_dir: str | None = None) -> DataFrame:
+                         algorithm: str = "auto",
+                         checkpoint_dir: str | None = None,
+                         driver_max_edges: int | None = None) -> DataFrame:
     """pairs(a,b) → (node, component) with component = min node id of the
     node's connected component.
 
-    algorithm="star" (default) converges in O(log n) rounds on ANY graph
-    shape; "hashmin" needs O(diameter) rounds and raises visibly at
+    algorithm="auto" (default) counts the edge multiset once and solves
+    graphs of ≤ ``driver_max_edges`` rows with a driver-side vectorized
+    union-find (identical labels, none of the per-round distributed
+    fixed costs), falling back to "star" above the guard.
+    algorithm="star" converges in O(log n) rounds on ANY graph shape;
+    "hashmin" needs O(diameter) rounds and raises visibly at
     ``max_iter`` (a guard, not a silent truncation). checkpoint_dir=None
     uses executor-local checkpoints (single-node / local mode); give a
     durable path for executor-loss-safe iteration on a real cluster.
     """
+    if algorithm == "auto":
+        cap = DRIVER_CC_MAX_EDGES if driver_max_edges is None \
+            else driver_max_edges
+        if pairs.count() <= cap:
+            return _cc_driver(pairs, a, b)
+        return _cc_star(pairs, a, b, max_iter, checkpoint_dir)
     if algorithm == "star":
         return _cc_star(pairs, a, b, max_iter, checkpoint_dir)
     if algorithm == "hashmin":
         return _cc_hashmin(pairs, a, b, max_iter, checkpoint_dir)
     raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def _cc_driver(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Driver-side connected components for size-guarded small graphs:
+    collect the edge list (two long columns over Arrow), label by
+    min-hook + pointer doubling in numpy (each round hooks every node to
+    the minimum label in its closed neighborhood, then compresses
+    label chains to their roots — O(E) numpy per round, O(log n)
+    rounds), and return (node, component = min node id). Labels are
+    identical to the distributed algorithms' by construction: dense
+    indexes are assigned in sorted-id order, so the minimum dense index
+    of a component maps back to its minimum node id."""
+    pdf = pairs.select(F.col(a).cast("long").alias("u"),
+                       F.col(b).cast("long").alias("v")).toPandas()
+    eu = pdf["u"].to_numpy(np.int64)
+    ev = pdf["v"].to_numpy(np.int64)
+    ids, inv = np.unique(np.concatenate([eu, ev]), return_inverse=True)
+    spark = pairs.sparkSession
+    if ids.size == 0:
+        return spark.createDataFrame([], "node long, component long")
+    iu, iv = inv[:eu.size], inv[eu.size:]
+    lab = np.arange(ids.size, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, iu, lab[iv])
+        np.minimum.at(lab, iv, lab[iu])
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, old):
+            break
+    import pandas as pd
+    out = pd.DataFrame({"node": ids, "component": ids[lab]})
+    return spark.createDataFrame(out, schema="node long, component long")
 
 
 def _edge_signature(edges: DataFrame) -> tuple[int, object]:

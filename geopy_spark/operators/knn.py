@@ -41,35 +41,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
-from ..functions.cells import cell_encode_udf
+from ..functions.cells import (cell_encode_udf, cell_i_col, cell_j_col,
+                               ij_to_cell_col)
 from ..functions.geo import haversine_m
 from ..kernels import cells as K
 from ..kernels.geodesy import meters_per_deg_lat
 
 DEFAULT_LEVEL = 4
-
-
-def _disk_rect_udf(cell, ri, rj, ri_in=None, rj_in=None):
-    """Disk cells — or, when (ri_in, rj_in) given, only the annulus
-    outside the inner rect (incremental phase-1 expansion)."""
-    if ri_in is None:
-        @F.pandas_udf(ArrayType(LongType()))
-        def _disk(c: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
-            cells = K.cell_disk_rect(c.to_numpy(np.int64),
-                                     a.to_numpy(np.int64), b.to_numpy(np.int64))
-            return pd.Series([x.tolist() for x in cells])
-        return _disk(cell, ri, rj)
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _annulus(c: pd.Series, a: pd.Series, b: pd.Series,
-                 ai: pd.Series, bi: pd.Series) -> pd.Series:
-        cells = K.cell_annulus_rect(c.to_numpy(np.int64),
-                                    a.to_numpy(np.int64), b.to_numpy(np.int64),
-                                    ai.to_numpy(np.int64), bi.to_numpy(np.int64))
-        return pd.Series([x.tolist() for x in cells])
-    return _annulus(cell, ri, rj, ri_in, rj_in)
 
 
 def _with_cell(df: DataFrame, level: int) -> DataFrame:
@@ -85,17 +64,39 @@ BROADCAST_MAX_CELLS = 4_000_000
 
 
 def _candidates(queries: DataFrame, points: DataFrame, ri_col, rj_col,
-                extra: tuple[str, ...] = (), inner=None,
+                level: int, extra: tuple[str, ...] = (),
                 broadcast_q: bool = True) -> DataFrame:
-    """Explode per-query disk (or annulus) cells and equi-join the point
+    """Explode per-query rectangular disk cells and equi-join the point
     table — broadcast when the exploded side is estimated small, else a
-    plain cell-bucketed shuffle join (AQE handles residual skew)."""
-    cells = _disk_rect_udf(F.col("cell"), ri_col, rj_col,
-                           *(inner if inner is not None else (None, None)))
+    plain cell-bucketed shuffle join (AQE handles residual skew).
+
+    The fan-out is pure Column algebra since the optimization round
+    (sequence/explode over row and column offsets + the Morton bit
+    ladder), replacing the pandas disk UDF: the exploded side stays in
+    whole-stage codegen, and repeated evaluations of the same plan (e.g.
+    DBSCAN's two passes over the eps pair stream) no longer pay a python
+    round-trip each. Cell-set semantics match kernels.cells
+    .cell_disk_rect exactly: latitude clamps, longitude wraps with rj
+    capped at n/2, and the duplicate wrap column is dropped."""
+    n = 1 << level
+    rjc = F.least(rj_col, F.lit(n // 2)).cast("long")
+    # when the wrapped range covers the whole grid width (2·rjc+1 > n,
+    # only possible at rjc = n/2), +rjc and -rjc are the same column —
+    # emit -rjc..rjc-1 to match cell_disk_rect's np.unique
+    rj_hi = F.when(rjc * 2 + 1 > F.lit(n), rjc - 1).otherwise(rjc)
     q = (queries
-         .withColumn("qcell", F.explode(cells))
-         .select("query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
-                 F.col("qcell").alias("cell"), *extra))
+         .withColumn("_qi", cell_i_col(F.col("cell")))
+         .withColumn("_qj", cell_j_col(F.col("cell")))
+         .withColumn("_di", F.explode(F.sequence(-ri_col.cast("long"),
+                                                 ri_col.cast("long"))))
+         .withColumn("_ii", F.col("_qi") + F.col("_di"))
+         .filter((F.col("_ii") >= 0) & (F.col("_ii") < n))
+         .withColumn("_dj", F.explode(F.sequence(-rjc, rj_hi)))
+         .withColumn("_jj", F.pmod(F.col("_qj") + F.col("_dj"), F.lit(n)))
+         .select("query_id", F.col("lat").alias("qlat"),
+                 F.col("lon").alias("qlon"),
+                 ij_to_cell_col(F.col("_ii"), F.col("_jj"), level)
+                 .alias("cell"), *extra))
     q = F.broadcast(q) if broadcast_q else q
     return (points.join(q, "cell")
             .withColumn("dist_m", haversine_m(F.col("qlat"), F.col("qlon"),
@@ -284,7 +285,8 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     est2 = q2.agg(F.sum((2 * F.col("_ri") + 1)
                         * (2 * F.least(F.col("_rj"), F.lit(n // 2)) + 1))
                   ).first()[0] or 0
-    cand2 = _candidates(q2, pts, F.col("_ri"), F.col("_rj"), extra=("_dk", "_full"),
+    cand2 = _candidates(q2, pts, F.col("_ri"), F.col("_rj"), level,
+                        extra=("_dk", "_full"),
                         broadcast_q=est2 <= broadcast_max_cells)
     # prune before the window: when phase 1 found >= k candidates, any point
     # farther than the dk upper bound cannot be in the true top-k
@@ -356,7 +358,7 @@ def within_distance_join(queries: DataFrame, points: DataFrame,
 
     pts = _with_cell(points, level).select(
         F.col(point_id).alias("nid"), "lat", "lon", "cell")
-    cand = _candidates(qry, pts, F.col("_ri"), F.col("_rj"),
+    cand = _candidates(qry, pts, F.col("_ri"), F.col("_rj"), level,
                        broadcast_q=est <= broadcast_max_cells)
     return (cand.filter(F.col("dist_m") <= F.lit(float(radius_m)))
             .select("query_id", F.col("nid").alias(point_id),

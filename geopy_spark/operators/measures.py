@@ -68,15 +68,16 @@ def buffer_points(points: DataFrame, radius_m: float, *,
 
     @F.pandas_udf("array<array<double>>")
     def _ring(la: pd.Series, lo: pd.Series) -> pd.Series:
+        # ONE broadcast forward-problem call over the [n_points ×
+        # n_vertices] grid (VERDICT r5 #5: the per-point python loop was
+        # a row-at-a-time hold-over); identical IEEE ops per element, so
+        # rings match the looped version bit-for-bit
         bear = np.arange(0.0, 360.0, 360.0 / n_vertices)
-        out = []
-        for i in range(len(la)):
-            ry, rx = destination_point(
-                np.full(n_vertices, la.iloc[i]),
-                np.full(n_vertices, lo.iloc[i]),
-                bear, np.full(n_vertices, float(radius_m)))
-            out.append([[float(a), float(b)] for a, b in zip(ry, rx)])
-        return pd.Series(out)
+        ry, rx = destination_point(
+            la.to_numpy(np.float64)[:, None],
+            lo.to_numpy(np.float64)[:, None],
+            bear[None, :], float(radius_m))
+        return pd.Series(np.stack([ry, rx], axis=2).tolist())
 
     ring = _ring(F.col(lat), F.col(lon))
     df = points.select(F.col(point_id).alias("poly_id"),

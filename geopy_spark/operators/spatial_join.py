@@ -170,13 +170,18 @@ def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column,
         la_np = la.to_numpy(np.float64)
         lo_np = lo.to_numpy(np.float64)
         fps = np.empty(len(pid), dtype=object)
-        rg_vals, hs_vals = rg.values, hs.values
+        rg_vals, hf_vals = rg.values, hf.values
         for i in range(len(pid)):
-            r = rg_vals[i]
-            n = len(r)
-            a, m = r[0], r[n >> 1]
-            fps[i] = (n, float(a[0]), float(a[1]),
-                      float(m[0]), float(m[1]), len(hs_vals[i]))
+            # full-geometry fingerprint (ADVICE r5: the old sampled
+            # fingerprint — vertex count + first/middle vertex + hole
+            # count — could collide for MultiPolygon parts differing
+            # only in unsampled vertices or hole shape, silently testing
+            # rows against the wrong ring). This fallback only runs for
+            # pre-round-5 covers lacking __geom; engine operators all
+            # pass ``group``.
+            fps[i] = hash((
+                np.asarray(rg_vals[i], dtype=np.float64).tobytes(),
+                np.asarray(hf_vals[i], dtype=np.float64).tobytes()))
         groups = pd.Series(range(len(pid))).groupby(
             [pid.values, fps]).groups.items()
         for _, idx in groups:

@@ -45,6 +45,13 @@ def get_spark(app: str = "geopy_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # persisted frames otherwise materialize with the static shuffle
+        # partition count (AQE partition coalescing is disabled below a
+        # cache by default) — tiny cached aggregates like DBSCAN's
+        # neighbor counts then run every consumer stage at full
+        # shuffle.partitions width for kilobytes of data
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         # NOTE: a warm-import daemon (workers forking with pandas preloaded)
         # was tried and REVERTED — forking a ~300MB address space per slot
         # per stage produced kernel-time storms (16-21% system CPU) that
@@ -85,6 +92,13 @@ def get_spark(app: str = "geopy_spark", cores: int | None = None,
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
+    # NOTE (optimization round): an automatic round-robin "spread" of
+    # single-row-group scans to defaultParallelism was tried here and
+    # REVERTED on measurement — with the encode and disk fan-out now in
+    # pure Column codegen, the map work above these scans is too cheap
+    # to amortize the extra exchange (A/B medians of 5 at sf0.1:
+    # spatial_join 1.12s plain vs 1.47s spread, knn 2.45 vs 3.57,
+    # within_distance 1.10 vs 1.20, minhash 1.67 vs 3.53).
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -146,10 +146,12 @@ def install_sql_functions(spark: SparkSession) -> list:
         import numpy as np
         la_np = la.to_numpy(np.float64, na_value=np.nan)
         lo_np = lo.to_numpy(np.float64, na_value=np.nan)
-        pr_np = prec.to_numpy()
-        ok = np.isfinite(la_np) & np.isfinite(lo_np)
+        # null/NaN precision rows yield null output instead of crashing
+        # the whole batch on int(NaN) (ADVICE r5)
+        pr_np = prec.to_numpy(np.float64, na_value=np.nan)
+        ok = np.isfinite(la_np) & np.isfinite(lo_np) & np.isfinite(pr_np)
         out = np.full(len(la_np), None, dtype=object)
-        for p in np.unique(pr_np):
+        for p in np.unique(pr_np[ok]):
             m = (pr_np == p) & ok
             if m.any():
                 out[m] = GH.encode(la_np[m], lo_np[m], int(p))

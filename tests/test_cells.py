@@ -147,3 +147,29 @@ def test_column_encode_matches_kernel(spark):
     plan = df.select(cell_encode_udf(F.col("lat"), F.col("lon"), 8))._jdf \
         .queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_column_ij_roundtrip_matches_kernel(spark):
+    """cell_i_col/cell_j_col/ij_to_cell_col are the Column twins of
+    cell_to_ij/ij_to_cell — the codegen disk fan-out depends on them."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geopy_spark.functions.cells import (cell_i_col, cell_j_col,
+                                             ij_to_cell_col)
+
+    rng = np.random.default_rng(12)
+    lat = rng.uniform(-90, 90, 3000)
+    lon = rng.uniform(-180, 180, 3000)
+    for lvl in (1, 8, 15, 28):
+        cells = K.cell_encode(lat, lon, lvl)
+        df = spark.createDataFrame(pd.DataFrame({"cell": cells}))
+        got = df.select(cell_i_col(F.col("cell")).alias("i"),
+                        cell_j_col(F.col("cell")).alias("j"),
+                        ij_to_cell_col(cell_i_col(F.col("cell")),
+                                       cell_j_col(F.col("cell")),
+                                       lvl).alias("back")).toPandas()
+        ii, jj, _ = K.cell_to_ij(cells)
+        assert np.array_equal(got["i"].to_numpy(np.int64), ii.astype(np.int64))
+        assert np.array_equal(got["j"].to_numpy(np.int64), jj.astype(np.int64))
+        assert np.array_equal(got["back"].to_numpy(np.int64), cells)

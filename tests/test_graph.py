@@ -72,8 +72,12 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     edges = [(i, i + 1) for i in range(50)] + [(200, 201), (201, 202)]
     df = spark.createDataFrame(edges, "a long, b long")
     ckdir = str(tmp_path / "cc_ckpt")
+    # algorithm pinned to "star": the reliable-checkpoint machinery only
+    # exists on the iterative distributed paths — "auto" solves a graph
+    # this small on the driver, where there is no iteration to protect
     got = {r.node: r.component
-           for r in connected_components(df, checkpoint_dir=ckdir).collect()}
+           for r in connected_components(df, algorithm="star",
+                                         checkpoint_dir=ckdir).collect()}
     exp = {r.node: r.component for r in connected_components(df).collect()}
     assert got == exp
     assert any(files for _, _, files in os.walk(ckdir))
@@ -104,3 +108,29 @@ def test_edge_signature_order_insensitive_and_discriminating(spark):
     d = spark.createDataFrame(pd.DataFrame({"u": [5, 9, 3, 40],
                                             "v": [1, 1, 12, 12]}))
     assert _edge_signature(a) != _edge_signature(d)
+
+
+def test_cc_auto_driver_matches_star(spark):
+    """The size-guarded driver union-find ("auto" below the edge cap)
+    must label identically to the distributed star loop: random sparse
+    graph with chains, cliques, self-loops and isolated-by-self-loop
+    nodes."""
+    import random
+    rnd = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40)]                 # chain
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(8)]
+    edges += [(500, 500), (601, 600)]                          # self, rev
+    edges += [(rnd.randrange(700, 760), rnd.randrange(700, 760))
+              for _ in range(60)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    auto = {r.node: r.component
+            for r in connected_components(df, algorithm="auto").collect()}
+    star = {r.node: r.component
+            for r in connected_components(df, algorithm="star").collect()}
+    assert auto == star
+    # above the guard the distributed loop must still be the one running
+    # (smoke: force a 1-edge cap and check results are unchanged)
+    capped = {r.node: r.component
+              for r in connected_components(df, algorithm="auto",
+                                            driver_max_edges=1).collect()}
+    assert capped == star

@@ -53,6 +53,17 @@ def report(app_id: str, first_job: int) -> None:
     print(f"-- {len(jobs)} jobs, sum(job wall) = {total:.2f}s")
     for name, (t, c) in sorted(by_site.items(), key=lambda kv: -kv[1][0]):
         print(f"  {t:7.2f}s  x{c:<4d} {name}")
+    if os.environ.get("SPARK_GRAFT_PROFILE_DETAIL"):
+        prev_end = None
+        for j in jobs:
+            sub = _ts(j["submissionTime"])
+            end = _ts(j["completionTime"])
+            gap = (sub - prev_end) if prev_end is not None else 0.0
+            prev_end = end
+            stages = ",".join(str(s) for s in j["stageIds"][:6])
+            print(f"    job {j['jobId']:>4} dur={end-sub:6.2f}s gap_before="
+                  f"{gap:6.2f}s stages=[{stages}] "
+                  f"{(j.get('description') or j['name']).splitlines()[0][:90]}")
 
 
 def main() -> None:
