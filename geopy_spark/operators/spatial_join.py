@@ -180,8 +180,9 @@ def pip_udf(lat: Column, lon: Column, poly_id: Column, ring: Column,
             # pre-round-5 covers lacking __geom; engine operators all
             # pass ``group``.
             fps[i] = hash((
-                np.asarray(rg_vals[i], dtype=np.float64).tobytes(),
-                np.asarray(hf_vals[i], dtype=np.float64).tobytes()))
+                _np_ring(rg_vals[i]).tobytes(),
+                _np_ring(hf_vals[i]).tobytes() if len(hf_vals[i])
+                else b""))
         groups = pd.Series(range(len(pid))).groupby(
             [pid.values, fps]).groups.items()
         for _, idx in groups:
@@ -291,18 +292,26 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                    .drop("cell_leaf"))
         cand = pts.join(F.broadcast(cov), "cell")
     else:
-        from .skew import hot_keys, salted_join
-        pts = pts.persist()
+        from .skew import salted_join
+        # ONE frequency pass serves both the hot_min_count default (mean
+        # cell occupancy) and hot-key detection — the old shape paid a
+        # separate count/approx_count_distinct scan plus a persisted
+        # point cache just to run the two passes (optimization round:
+        # with the encode in codegen, re-deriving `cell` on the final
+        # join's scan is cheaper than a 600k-row cache round-trip)
+        # per-cell counts materialize once with truncated lineage (rows
+        # bounded by distinct occupied cells, executor-distributed); the
+        # occupancy default and the hot filter both read the same blocks
+        cell_counts = pts.groupBy("cell").count().localCheckpoint(eager=True)
         if hot_min_count is None:
-            n, ncells = pts.select(
-                F.count("*"), F.approx_count_distinct("cell")).first()
-            hot_min_count = max(int(20 * n / max(ncells, 1)), 100)
-        # hot is tiny (outlier cells only): materialize it with truncated
-        # lineage, then release the point cache — the final join streams
-        # the point side once anyway, and nothing leaks into the caller's
-        # session (ADVICE r1: pts/hot persists accumulated)
-        hot = hot_keys(pts, "cell", hot_min_count).localCheckpoint(eager=True)
-        pts.unpersist()
+            row = cell_counts.agg(
+                F.sum("count").alias("n"),
+                F.count("*").alias("ncells")).first()
+            hot_min_count = max(
+                int(20 * int(row.n or 0) / max(int(row.ncells or 1), 1)),
+                100)
+        hot = cell_counts.filter(F.col("count") > hot_min_count) \
+            .select("cell", F.col("count").alias("hot_count"))
         cand = salted_join(
             pts, cov, "cell", hot=hot, factor=salt_factor,
             big_salt_expr=F.pmod(F.hash(F.col(point_id)), F.lit(salt_factor)))
