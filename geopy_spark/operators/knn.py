@@ -278,6 +278,12 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     q2 = q2.select("query_id", "lat", "lon", "cell",
                    ri.alias("_ri"), rj.alias("_rj"), F.col("dk").alias("_dk"),
                    F.col("full").alias("_full"))
+    # the size-guard agg below and the phase-2 join both consume q2, and
+    # its subtree holds the _bound pandas UDF — persist so the bound pass
+    # runs ONCE per call, not once per action (narrow frame: 8 scalar
+    # columns per query; MEMORY_AND_DISK spills for huge query batches,
+    # and storage-LRU reclaims the per-call entries under pressure)
+    q2 = q2.persist()
     # size-guarded fan-out: estimate the exploded window rows (one cheap
     # agg over the small per-query frame) and fall back to a shuffle join
     # when the exact windows are too wide to broadcast (VERDICT r1: a 10^7
