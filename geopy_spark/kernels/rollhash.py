@@ -31,6 +31,30 @@ B2, P2 = 137, 2147483629   # prev prime
 _POW_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
 
+def _pow_table(base: int, P: int, size: int) -> np.ndarray:
+    """base^i mod P for i in [0, size) — blocked build so the Python loop
+    is O(sqrt)-ish, not O(size) (the batch path grows the table to the
+    CONCATENATED batch length; a scalar loop there costs ~1 µs/entry).
+    pw[k*m+j] = (base^m)^k * base^j; every product of two residues
+    < 2^31 fits uint64."""
+    m = 2048
+    small = np.empty(m, dtype=np.uint64)
+    small[0] = 1
+    b, p = np.uint64(base), np.uint64(P)
+    for j in range(1, m):
+        small[j] = small[j - 1] * b % p
+    nblk = (size + m - 1) // m
+    big = np.empty(max(nblk, 1), dtype=np.uint64)
+    big[0] = 1
+    bm = small[m - 1] * b % p
+    for k in range(1, nblk):
+        big[k] = big[k - 1] * bm % p
+    out = np.repeat(big[:nblk], m)[:size]
+    out *= np.tile(small, max(nblk, 1))[:size]
+    out %= p
+    return out
+
+
 def _pows(B: int, P: int, n: int) -> tuple[np.ndarray, np.ndarray]:
     """(B^i mod P, B^-i mod P) for i in [0, n] — grown geometrically and
     cached per process (one-time O(maxlen) cost, amortized across docs)."""
@@ -41,13 +65,8 @@ def _pows(B: int, P: int, n: int) -> tuple[np.ndarray, np.ndarray]:
     if cached is not None:
         size = max(size, cached[0].size * 2)
     binv = pow(B, P - 2, P)
-    pw = np.empty(size, dtype=np.uint64)
-    ipw = np.empty(size, dtype=np.uint64)
-    pw[0] = ipw[0] = 1
-    b, bi, p = np.uint64(B), np.uint64(binv), np.uint64(P)
-    for i in range(1, size):
-        pw[i] = pw[i - 1] * b % p
-        ipw[i] = ipw[i - 1] * bi % p
+    pw = _pow_table(B, P, size)
+    ipw = _pow_table(binv, P, size)
     _POW_CACHE[(B, P)] = (pw, ipw)
     return pw, ipw
 
@@ -59,7 +78,9 @@ def _substr_hashes(cp1: np.ndarray, l: np.ndarray, r: np.ndarray,
     n = cp1.size
     pw, ipw = _pows(B, P, n)
     p = np.uint64(P)
-    g = cp1 % p * ipw[:n] % p
+    # cp1 ≤ 0x10FFFF+2 < 2^21 (codepoint + 1), so cp1·ipw < 2^52 stays
+    # exact in uint64 without reducing cp1 first
+    g = cp1 * ipw[:n] % p
     s = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum(g, out=s[1:])          # exact while n * 2^31 < 2^64
     s %= p
@@ -95,6 +116,90 @@ def shingle_hashes(text, ngram: int = 3) -> np.ndarray:
     h1 = _substr_hashes(cp1, l, r, B1, P1)
     h2 = _substr_hashes(cp1, l, r, B2, P2)
     return np.unique(h1 * np.uint64(P2) + h2)
+
+
+def shingle_hashes_batch(texts, ngram: int = 3
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched twin of :func:`shingle_hashes` over an iterable of texts.
+
+    Returns ``(flat, starts, lens)`` with ``flat`` BIT-IDENTICAL to
+    ``np.concatenate([shingle_hashes(t, ngram) for t in texts])`` and
+    starts/lens delimiting each document's sorted-unique run — the exact
+    flat layout the signature UDFs build today, produced in ONE prefix-
+    hash pass over the concatenated normalized text instead of one
+    numpy-call cascade per document (measured 0.335 s → vector cost for
+    5k bench docs; the per-doc overhead, not the math, dominated).
+
+    Correctness leans on two exact properties: the rolling-hash prefix
+    identity hash(s[l:r]) = (pre[r] − pre[l]·B^(r−l)) mod P is position-
+    independent, so documents concatenate with NO separators and every
+    in-document [l, r) window hashes as if the document stood alone; and
+    per-document sorted-unique falls out of one global lexsort keyed
+    (doc, hash) + run-boundary mask — same values np.unique yields per
+    document. Empty documents take l == r, and hash("") is 0 in both
+    rolls, reproducing the per-doc [0] sentinel through the same path.
+    The uint64 cumsum in _substr_hashes stays exact while the CONCATENATED
+    batch is < 2^33 codepoints — Arrow batches are capped far below that
+    (2048 rows/batch session default)."""
+    norms = [" ".join(str(t).lower().split()) for t in texts]
+    nd = len(norms)
+    if nd == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), z, z
+    dlen = np.fromiter((len(s) for s in norms), dtype=np.int64, count=nd)
+    off = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(dlen, out=off[1:])
+    blob = "".join(norms)
+    cp1 = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32
+                        ).astype(np.uint64)
+    cp1 += np.uint64(1)
+    spaces = np.flatnonzero(cp1 == np.uint64(33))        # ' ' + 1
+    # words per doc: interior single spaces only (normalized), so
+    # W_d = (#spaces in doc) + 1 for non-empty docs, 0 for empty
+    sp_cut = np.searchsorted(spaces, off[1:])
+    sp_d = np.diff(np.concatenate(([0], sp_cut)))
+    W = np.where(dlen > 0, sp_d + 1, 0)
+    # global word-start/word-end position arrays in document-major order:
+    # starts are {doc offsets of non-empty docs} ∪ {space+1}, ends are
+    # {spaces} ∪ {doc end offsets}; all positions distinct, so one sort
+    # interleaves them correctly (norm never begins/ends with a space)
+    ws = np.sort(np.concatenate((off[:-1][dlen > 0], spaces + 1)))
+    we = np.sort(np.concatenate((spaces, off[1:][dlen > 0])))
+    ws_off = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(W, out=ws_off[1:])
+    # shingle windows: k_d = W_d − ngram + 1 word-grams, or ONE whole-doc
+    # window when W_d < ngram (covers the empty doc: l == r → hash 0)
+    short = W < ngram
+    k = np.where(short, 1, W - ngram + 1)
+    k_off = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(k, out=k_off[1:])
+    total = int(k_off[-1])
+    did = np.repeat(np.arange(nd, dtype=np.int64), k)
+    within = np.arange(total, dtype=np.int64) - np.repeat(k_off[:-1], k)
+    short_s = short[did]
+    wmax = max(ws.size - 1, 0)
+    li = np.minimum(ws_off[did] + within, wmax)
+    ri = np.minimum(ws_off[did] + within + (ngram - 1), wmax)
+    if ws.size:
+        l = np.where(short_s, off[:-1][did], ws[li])
+        r = np.where(short_s, off[1:][did], we[ri])
+    else:                                   # every doc empty/one-word-less
+        l = off[:-1][did]
+        r = off[1:][did]
+    h1 = _substr_hashes(cp1, l, r, B1, P1)
+    h2 = _substr_hashes(cp1, l, r, B2, P2)
+    comb = h1 * np.uint64(P2) + h2
+    # per-document sorted unique via one global lexsort + run mask
+    order = np.lexsort((comb, did))
+    hs = comb[order]
+    dd = did[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (dd[1:] != dd[:-1]) | (hs[1:] != hs[:-1])
+    flat = hs[keep]
+    lens = np.bincount(dd[keep], minlength=nd).astype(np.int64)
+    starts = np.zeros(nd, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return flat, starts, lens
 
 
 def hash_str62(s: str) -> int:

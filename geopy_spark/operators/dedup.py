@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..functions.text import fingerprint
-from ..kernels.rollhash import shingle_hashes
+from ..kernels.rollhash import shingle_hashes, shingle_hashes_batch
 
 log = logging.getLogger("geopy_spark.dedup")
 
@@ -135,17 +135,15 @@ def minhash_sig_udf(text: Column, num_perm: int = 64, ngram: int = 3) -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(t: pd.Series) -> pd.Series:
-        hashes = _token_hashes(t, ngram)  # every entry has size >= 1
-        if not hashes:
+        # batched shingle kernel: bit-identical flat layout to the old
+        # per-document shingle_hashes cascade (pinned by pytest), built
+        # in one prefix-hash pass over the whole Arrow batch
+        flat, starts, lens = shingle_hashes_batch(t, ngram)
+        if lens.size == 0:
             return pd.Series([])
-        lens = np.fromiter((h.size for h in hashes), dtype=np.int64,
-                           count=len(hashes))
-        flat = np.concatenate(hashes)
-        starts = np.zeros(len(hashes), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
         fm = flat % _MERSENNE
         tmp = _scratch(fm.size)
-        mins = np.empty((len(hashes), num_perm), dtype=np.int64)
+        mins = np.empty((lens.size, num_perm), dtype=np.int64)
         for p in range(num_perm):
             np.multiply(fm, a[p], out=tmp)
             np.add(tmp, b[p], out=tmp)
@@ -340,22 +338,18 @@ def simhash_udf(text: Column, ngram: int = 2) -> Column:
     < 2^62 — mirrored by the SQL twin)."""
     @F.pandas_udf(LongType())
     def _sh(t: pd.Series) -> pd.Series:
-        hashes = _token_hashes(t, ngram)  # every entry has size >= 1
-        if not hashes:
+        # batched shingle kernel (bit-identical flat layout, incl. the
+        # per-document UNIQUE sets the bit votes depend on) + per-document
+        # vote sums via np.add.reduceat — no per-document Python
+        flat, starts, lens = shingle_hashes_batch(t, ngram)
+        if lens.size == 0:
             return pd.Series([], dtype=np.int64)
-        # one flat bit matrix per Arrow batch + per-document vote sums via
-        # np.add.reduceat — no per-document Python in the hot path
-        lens = np.fromiter((h.size for h in hashes), dtype=np.int64,
-                           count=len(hashes))
-        flat = np.concatenate(hashes)
-        starts = np.zeros(len(hashes), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
         # per-bit loop with a reused scratch buffer instead of one
         # [shingles × 64] bit matrix (fresh 100 MB+ allocations stall on
         # page faults here — see _scratch); ones-count per segment gives
         # votes = 2·ones − len without materializing ±1 values
         tmp = _scratch(flat.size)
-        words = np.zeros(len(hashes), dtype=np.uint64)
+        words = np.zeros(lens.size, dtype=np.uint64)
         for bit in range(64):
             np.right_shift(flat, np.uint64(bit), out=tmp)
             np.bitwise_and(tmp, np.uint64(1), out=tmp)

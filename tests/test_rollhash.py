@@ -85,3 +85,42 @@ def test_hash_is_62_bit_and_collision_free_on_vocab():
           for i in range(12) for j in range(12) for k in range(12)]
     assert len(set(hs)) == len(hs)
     assert all(0 <= h < (1 << 62) for h in hs)
+
+
+@pytest.mark.parametrize("ngram", [2, 3, 5])
+def test_batch_matches_per_doc_bit_for_bit(ngram):
+    """shingle_hashes_batch is the signature UDFs' hot path: its flat
+    layout must equal the per-document cascade EXACTLY (values, order,
+    boundaries) — minhash minima and simhash bit votes both read it."""
+    docs = TEXTS + ["dup dup dup dup", "a a a", "one", "x " * 300,
+                    " ".join(f"w{i % 7}" for i in range(50))]
+    ref = [R.shingle_hashes(t, ngram) for t in docs]
+    flat, starts, lens = R.shingle_hashes_batch(docs, ngram)
+    assert flat.dtype == np.uint64
+    assert np.array_equal(flat, np.concatenate(ref))
+    assert np.array_equal(lens, np.array([h.size for h in ref]))
+    assert np.array_equal(starts, np.concatenate(
+        ([0], np.cumsum([h.size for h in ref])[:-1])))
+
+
+def test_batch_empty_and_degenerate_inputs():
+    flat, starts, lens = R.shingle_hashes_batch([], 3)
+    assert flat.size == 0 and starts.size == 0 and lens.size == 0
+    flat, starts, lens = R.shingle_hashes_batch(["", "   ", "\t\n"], 3)
+    assert np.array_equal(flat, np.zeros(3, dtype=np.uint64))  # hash("")=0
+    assert np.array_equal(lens, np.ones(3, dtype=np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60),
+    max_size=12),
+    st.integers(min_value=2, max_value=4))
+def test_batch_matches_per_doc_property(docs, ngram):
+    ref = [R.shingle_hashes(t, ngram) for t in docs]
+    flat, starts, lens = R.shingle_hashes_batch(docs, ngram)
+    exp = (np.concatenate(ref) if ref
+           else np.zeros(0, dtype=np.uint64))
+    assert np.array_equal(flat, exp)
+    assert np.array_equal(lens, np.array([h.size for h in ref],
+                                         dtype=np.int64).reshape(len(ref)))
